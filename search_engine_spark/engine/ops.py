@@ -1,0 +1,562 @@
+"""Query operators as DataFrame combinators.
+
+The reference evaluates every operator as a single-threaded docid-sorted
+cursor merge (hw5/QryEval/Qryop.java ArgPtr machinery). Here each operator is
+a node that *declares* a DataFrame plan; Catalyst chooses the physical join /
+aggregation strategy and Tungsten codegens the score math. Two node shapes
+mirror the reference's QryopIl / QryopSl split (QryResult.java:18-27):
+
+- Il nodes  -> postings-shaped frames  (docid, tf, positions)
+- Sl nodes  -> score-shaped frames     (docid, score)
+
+Semantics parity, per reference file:
+- #AND  Boolean  k-way INNER on docid, min score          QryopSlAnd.java:91-122
+- #AND  Indri    union-of-docids, geo-mean w/ defaults    QryopSlIndriAnd.java:33-82
+- #OR            union, max                               QryopSlOr.java:34-66
+- #SUM  (BM25)   union, sum                               QryopSlSum.java:43-75
+- #WAND          union-of-docids, ∏ s^(w/W) w/ defaults   QryopSlWand.java:55-125
+- #WSUM          union-of-docids, Σ s·w/W w/ defaults     QryopSlWsum.java:56-135
+- #SYN           inverted-list union, merged positions    QryopIlSyn.java:43-97
+- #NEAR/n        ordered positional walk, consume-on-match QryopIlNear.java:77-135
+- #WINDOW/n      unordered min/max window walk            QryopIlWindow.java:34-149
+- #SCORE         Il -> Sl conversion per model            QryopSlScore.java (see score.py)
+
+Float contract: leaf #SCORE outputs are float32-cast; Indri DEFAULT scores are
+NOT (the reference's getDefaultScore returns a raw double) — coalesce(actual_f32,
+default_raw), combined in double. Products multiply left-to-right in child
+order, matching the reference's `score *= ...` loop, so doubles agree bitwise.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import (
+    BM25,
+    INDRI,
+    RANKED_BOOLEAN,
+    UNRANKED_BOOLEAN,
+    ModelConfig,
+)
+from search_engine_spark.engine import score as score_mod
+from search_engine_spark.index.build import IndexTables
+
+
+# --------------------------------------------------------------------------
+# evaluation context
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class EvalContext:
+    """Everything a compiled query tree needs: the index + model params +
+    a driver-side cache of the per-term statistics the plan constant-folds
+    (the analog of the reference pulling df/ctf from the live Lucene reader,
+    QryopSlScore.java:118,156)."""
+
+    index: IndexTables
+    model: ModelConfig
+    _stats: dict = dc_field(default_factory=dict)  # (term, field) -> (df, ctf)
+
+    def prefetch_terms(self, pairs: set[tuple[str, str]]) -> None:
+        """One tiny filtered scan of term_stats for all leaf terms of a query."""
+        missing = [p for p in pairs if p not in self._stats]
+        if not missing:
+            return
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("term") == t) & (F.col("field") == f)
+                for t, f in missing
+            ],
+        )
+        rows = self.index.term_stats.where(cond).collect()
+        found = {(r["term"], r["field"]): (r["df"], r["ctf"]) for r in rows}
+        for p in missing:
+            self._stats[p] = found.get(p, (0, 0))
+
+    def term_stat(self, term: str, fld: str) -> tuple[int, int]:
+        if (term, fld) not in self._stats:
+            self.prefetch_terms({(term, fld)})
+        return self._stats[(term, fld)]
+
+
+def _empty_scores(ctx: EvalContext) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("docid", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return ctx.index.postings.sparkSession.createDataFrame([], schema)
+
+
+def _doclen_for(ctx: EvalContext, fld: str) -> DataFrame:
+    return ctx.index.doc_stats.where(F.col("field") == fld).select("docid", "doclen")
+
+
+# --------------------------------------------------------------------------
+# Il nodes — postings-shaped (docid, tf, positions)
+# --------------------------------------------------------------------------
+
+
+class IlNode:
+    field: str
+
+    def postings(self, ctx: EvalContext) -> DataFrame:
+        raise NotImplementedError
+
+    # (df, ctf) of the materialized result — needed by #SCORE under BM25/Indri
+    # for composite children (the reference reads them off the returned
+    # InvList). For Term leaves this is a broadcast-stats lookup, no job runs.
+    def list_stats(self, ctx: EvalContext) -> tuple[int, int]:
+        row = (
+            self.postings(ctx)
+            .agg(
+                F.count("*").alias("df"),
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("ctf"),
+            )
+            .collect()[0]
+        )
+        return int(row["df"]), int(row["ctf"])
+
+
+@dataclass
+class TermNode(IlNode):
+    """Leaf posting-list scan (QryopIlTerm.java:56-60): an equality predicate
+    pushed into the postings scan — bucket/partition-prunable on `term`."""
+
+    term: str
+    field: str = "body"
+
+    def postings(self, ctx: EvalContext) -> DataFrame:
+        return ctx.index.term_postings(self.term, self.field).select(
+            "docid", "tf", "positions", "doclen"
+        )
+
+    def list_stats(self, ctx: EvalContext) -> tuple[int, int]:
+        return ctx.term_stat(self.term, self.field)
+
+
+def _with_doclen(ctx: EvalContext, df: DataFrame, fld: str) -> DataFrame:
+    """Composite Il results don't carry doclen; join it from doc_stats."""
+    if "doclen" in df.columns:
+        return df
+    return df.join(_doclen_for(ctx, fld), "docid")
+
+
+@dataclass
+class SynNode(IlNode):
+    """#SYN — inverted-list union; per docid concatenate+sort all children's
+    positions, tf = total (QryopIlSyn.java:43-97). Same-field enforced
+    (:122-137)."""
+
+    children: list
+
+    def __post_init__(self):
+        flds = {c.field for c in self.children}
+        if len(flds) != 1:
+            raise ValueError(f"#SYN arguments must share a field, got {flds}")
+        self.field = self.children[0].field
+
+    def postings(self, ctx: EvalContext) -> DataFrame:
+        frames = [
+            c.postings(ctx).select("docid", "positions") for c in self.children
+        ]
+        unioned = reduce(DataFrame.unionByName, frames)
+        return (
+            unioned.groupBy("docid")
+            .agg(
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias(
+                    "positions"
+                )
+            )
+            .select(
+                "docid",
+                F.size("positions").cast("int").alias("tf"),
+                "positions",
+            )
+        )
+
+
+def _positional_join(ctx: EvalContext, children: list) -> DataFrame:
+    """docid INNER join of k child postings, collecting each child's positions
+    array — the distributed analog of the reference's doc-at-a-time skip merge
+    (QryopIlNear.java:77-96): Catalyst plans the same sorted intersection."""
+    out = children[0].postings(ctx).select("docid", F.col("positions").alias("p0"))
+    for i, c in enumerate(children[1:], start=1):
+        nxt = c.postings(ctx).select("docid", F.col("positions").alias(f"p{i}"))
+        out = out.join(nxt, "docid")
+    return out
+
+
+_POS_SCHEMA = T.StructType(
+    [
+        T.StructField("docid", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _near_walk(pos_lists: list, distance: int) -> list:
+    """The reference's NEAR position walk (QryopIlNear.java:99-135), exactly:
+    per-arg cursors persist across arg0 positions; a match consumes one
+    position from every arg; an exhausted arg aborts the doc."""
+    k = len(pos_lists)
+    ptr = [0] * (k - 1)
+    out = []
+    for p0 in pos_lists[0]:
+        prev = p0
+        matched = True
+        for i in range(1, k):
+            lst = pos_lists[i]
+            j = ptr[i - 1]
+            advanced = False
+            while j < len(lst):
+                ptr[i - 1] = j
+                if lst[j] <= prev:
+                    j += 1
+                elif lst[j] - prev <= distance:
+                    prev = lst[j]
+                    advanced = True
+                    break
+                else:
+                    matched = False  # try next p0; cursors keep state
+                    advanced = True
+                    break
+            if not advanced:  # arg i exhausted -> abort doc entirely
+                return out
+            if not matched:
+                break
+        if matched:
+            out.append(p0)
+            for i in range(k - 1):
+                ptr[i] += 1
+    return out
+
+
+def _window_walk(pos_lists: list, distance: int) -> list:
+    """The reference's WINDOW walk (QryopIlWindow.java:107-149): advance the
+    min-position cursor until max-min+1 <= distance; on match emit arg0's
+    current position and advance all cursors."""
+    k = len(pos_lists)
+    ptr = [0] * k
+    out = []
+    while True:
+        min_pos = None
+        max_pos = None
+        min_arg = -1
+        for i in range(k):
+            if ptr[i] >= len(pos_lists[i]):
+                return out
+            p = pos_lists[i][ptr[i]]
+            if min_pos is None or p < min_pos:
+                min_pos, min_arg = p, i
+            if max_pos is None or p > max_pos:
+                max_pos = p
+        if max_pos - min_pos + 1 > distance:
+            ptr[min_arg] += 1
+        else:
+            out.append(pos_lists[0][ptr[0]])
+            for i in range(k):
+                ptr[i] += 1
+
+
+def _positional_node_postings(
+    ctx: EvalContext, children: list, distance: int, walk
+) -> DataFrame:
+    if len(children) == 1:  # 1-arg passthrough (QryopIlWindow.java:51-57)
+        return children[0].postings(ctx).select("docid", "tf", "positions")
+    joined = _positional_join(ctx, children)
+    pcols = [f"p{i}" for i in range(len(children))]
+    k = len(children)
+
+    def batch_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            docids, tfs, poss = [], [], []
+            for row in pdf.itertuples(index=False):
+                docid = row.docid
+                plists = [getattr(row, c) for c in pcols]
+                res = walk([list(p) for p in plists], distance)
+                if res:
+                    docids.append(docid)
+                    tfs.append(len(res))
+                    poss.append(res)
+            yield pd.DataFrame(
+                {"docid": docids, "tf": tfs, "positions": poss}
+            ).astype({"docid": "int64", "tf": "int32"}, errors="ignore")
+
+    # mapInPandas: Arrow-batched; the per-row python walk touches only docs
+    # containing ALL k terms (the join already filtered), so the Python-side
+    # volume is tiny relative to the scan.
+    return joined.select("docid", *pcols).mapInPandas(batch_iter, _POS_SCHEMA)
+
+
+@dataclass
+class NearNode(IlNode):
+    """#NEAR/n (QryopIlNear.java)."""
+
+    distance: int
+    children: list
+
+    def __post_init__(self):
+        self.field = self.children[0].field
+
+    def postings(self, ctx: EvalContext) -> DataFrame:
+        return _positional_node_postings(
+            ctx, self.children, self.distance, _near_walk
+        )
+
+
+@dataclass
+class WindowNode(IlNode):
+    """#WINDOW/n (QryopIlWindow.java)."""
+
+    distance: int
+    children: list
+
+    def __post_init__(self):
+        self.field = self.children[0].field
+
+    def postings(self, ctx: EvalContext) -> DataFrame:
+        return _positional_node_postings(
+            ctx, self.children, self.distance, _window_walk
+        )
+
+
+# --------------------------------------------------------------------------
+# Sl nodes — score-shaped (docid, score)
+# --------------------------------------------------------------------------
+
+
+class SlNode:
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        raise NotImplementedError
+
+    def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
+        """(docid, score) for EVERY docid in `cands`: actual score where the
+        doc matches, the model's default score otherwise (the recursive
+        getDefaultScore contract, QryopSl.java:51). Indri-family only."""
+        raise NotImplementedError(f"{type(self).__name__} has no default score")
+
+
+@dataclass
+class ScoreNode(SlNode):
+    """#SCORE — Il -> Sl conversion (QryopSlScore.java). Implicitly inserted
+    around any Il argument of an Sl operator (QryopSl.java:31-32)."""
+
+    child: IlNode
+
+    def _score_col(self, ctx: EvalContext, df_val: int, ctf_val: int) -> Column:
+        m = ctx.model
+        fld = self.child.field
+        if m.name == UNRANKED_BOOLEAN:
+            return score_mod._f32(score_mod.unranked_boolean_score())
+        if m.name == RANKED_BOOLEAN:
+            return score_mod._f32(score_mod.ranked_boolean_score())
+        if m.name == BM25:
+            return score_mod.bm25_score(
+                n_docs=ctx.index.corpus.n_docs,
+                df=df_val,
+                avgdl=ctx.index.corpus.avgdl(fld),
+                p=m.bm25,
+            )
+        if m.name == INDRI:
+            return score_mod.indri_score(
+                ctf=ctf_val,
+                c_len=ctx.index.corpus.sum_doclen(fld),
+                p=m.indri,
+            )
+        raise ValueError(f"model {m.name} unsupported by #SCORE")
+
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        df_val, ctf_val = self.child.list_stats(ctx)
+        posts = _with_doclen(ctx, self.child.postings(ctx), self.child.field)
+        return posts.select(
+            "docid", self._score_col(ctx, df_val, ctf_val).alias("score")
+        )
+
+    def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
+        """Indri: coalesce(actual f32 score, raw-double default score).
+        The default needs the doc's field length -> one join with doc_stats.
+        Note the reference quirk (QryopSlScore.java evaluateIndri): ctf/field
+        are captured only while scoring a non-empty list, so an empty child
+        leaves ctf=0 -> default collapses to (1-λ)·µ·0/(doclen+µ)+λ·0 = 0."""
+        if ctx.model.name != INDRI:
+            raise ValueError("default scores only defined for Indri")
+        _, ctf_val = self.child.list_stats(ctx)
+        fld = self.child.field
+        default_col = score_mod.indri_default_score(
+            ctf=ctf_val,
+            c_len=ctx.index.corpus.sum_doclen(fld),
+            p=ctx.model.indri,
+            # a doc with no tokens in this field has no doc_stats row; the
+            # reference's Lucene norm lookup yields 0 there
+            doclen=F.coalesce(F.col("doclen"), F.lit(0)).cast("double"),
+        )
+        actual = self.scores(ctx)
+        return (
+            cands.select("docid")
+            .join(actual, "docid", "left")
+            .join(_doclen_for(ctx, fld), "docid", "left")
+            .select(
+                "docid",
+                F.coalesce(F.col("score"), default_col).alias("score"),
+            )
+        )
+
+
+def _union_scores(ctx: EvalContext, children: list) -> DataFrame:
+    frames = [c.scores(ctx) for c in children]
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _cand_docids(ctx: EvalContext, children: list) -> DataFrame:
+    return _union_scores(ctx, children).select("docid").distinct()
+
+
+@dataclass
+class SumNode(SlNode):
+    """#SUM — BM25 score accumulation (QryopSlSum.java:43-75): every doc in
+    ANY child, sum of the scores present. union -> partial+final hash agg."""
+
+    children: list
+
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        if ctx.model.name != BM25:
+            raise ValueError("#SUM is only defined for BM25 (QryopSlSum.java:39-42)")
+        return (
+            _union_scores(ctx, self.children)
+            .groupBy("docid")
+            .agg(F.sum("score").alias("score"))
+        )
+
+
+@dataclass
+class OrNode(SlNode):
+    """#OR — union, max score (QryopSlOr.java:34-66). Boolean models only."""
+
+    children: list
+
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        if ctx.model.name not in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
+            raise ValueError("#OR is only defined for Boolean models")
+        return (
+            _union_scores(ctx, self.children)
+            .groupBy("docid")
+            .agg(F.max("score").alias("score"))
+        )
+
+
+@dataclass
+class AndBoolNode(SlNode):
+    """#AND under Boolean models — k-way INNER intersection on docid, min
+    score when ranked (QryopSlAnd.java:91-122; min at :111-114)."""
+
+    children: list
+
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        if ctx.model.name not in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
+            raise ValueError("AndBoolNode requires a Boolean model")
+        k = len(self.children)
+        agged = (
+            _union_scores(ctx, self.children)
+            .groupBy("docid")
+            .agg(F.count("*").alias("_n"), F.min("score").alias("_min"))
+            .where(F.col("_n") == k)
+        )
+        if ctx.model.name == RANKED_BOOLEAN:
+            return agged.select("docid", F.col("_min").alias("score"))
+        return agged.select("docid", F.lit(1.0).alias("score"))
+
+
+def _indri_chain_join(
+    ctx: EvalContext, children: list, cands: DataFrame
+) -> tuple[DataFrame, list]:
+    """Join each child's scores_with_default(cands) on docid; returns the
+    joined frame and the per-child score column names (in child order, so
+    combine expressions multiply/add left-to-right like the reference)."""
+    out = cands.select("docid")
+    cols = []
+    for i, c in enumerate(children):
+        s = c.scores_with_default(ctx, cands).withColumnRenamed("score", f"_s{i}")
+        out = out.join(s, "docid")
+        cols.append(f"_s{i}")
+    return out, cols
+
+
+@dataclass
+class IndriAndNode(SlNode):
+    """#AND under Indri — every doc in the union of child lists is scored with
+    the geometric mean of child scores (defaults for missing children):
+    QryopSlIndriAnd.java:33-82, root at :80."""
+
+    children: list
+
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        cands = _cand_docids(ctx, self.children)
+        return self.scores_with_default(ctx, cands)
+
+    def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
+        joined, cols = _indri_chain_join(ctx, self.children, cands)
+        prod = reduce(lambda a, b: a * b, [F.col(c) for c in cols])
+        k = len(self.children)
+        return joined.select(
+            "docid", F.pow(prod, F.lit(1.0 / k)).alias("score")
+        )
+
+
+def _total_weight(weights: list) -> float:
+    return float(sum(weights))
+
+
+@dataclass
+class WandNode(SlNode):
+    """#WAND — Indri weighted-AND: ∏ sᵢ^(wᵢ/W) over the union of child lists
+    (QryopSlWand.java:55-125). NOT Broder's WAND pruning — see SURVEY.md J5."""
+
+    weights: list
+    children: list
+
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        cands = _cand_docids(ctx, self.children)
+        return self.scores_with_default(ctx, cands)
+
+    def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
+        W = _total_weight(self.weights)
+        joined, cols = _indri_chain_join(ctx, self.children, cands)
+        # score starts at 1.0 and multiplies pow(s_i, w_i/W) in child order
+        prod = F.lit(1.0)
+        for c, w in zip(cols, self.weights):
+            prod = prod * F.pow(F.col(c), F.lit(w / W if W != 0 else math.nan))
+        return joined.select("docid", prod.alias("score"))
+
+
+@dataclass
+class WsumNode(SlNode):
+    """#WSUM — Σ sᵢ·wᵢ/W over the union of child lists
+    (QryopSlWsum.java:56-135)."""
+
+    weights: list
+    children: list
+
+    def scores(self, ctx: EvalContext) -> DataFrame:
+        cands = _cand_docids(ctx, self.children)
+        return self.scores_with_default(ctx, cands)
+
+    def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
+        W = _total_weight(self.weights)
+        joined, cols = _indri_chain_join(ctx, self.children, cands)
+        acc = F.lit(0.0)
+        for c, w in zip(cols, self.weights):
+            acc = acc + F.col(c) * F.lit(w / W if W != 0 else math.nan)
+        return joined.select("docid", acc.alias("score"))

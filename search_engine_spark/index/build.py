@@ -1,0 +1,189 @@
+"""Inverted-index build pipeline (the piece the reference outsources to Lucene).
+
+The reference only READS a prebuilt Lucene index (hw1/QryEval/ReadMe.txt:
+"Given a parameter file which specifies the index path"); its data model is
+documented in SURVEY.md §1. We build the equivalent tables with pure
+DataFrame ops so Catalyst pipelines tokenize -> explode -> aggregate with
+map-side partial aggregation and AQE-sized shuffles:
+
+- doc_ids      docid, ext_docid (+ passthrough id columns)     [dimension]
+- doc_terms    docid, field, term, tf, positions               [forward index
+               == Lucene TermVector, hw5/QryEval/TermVector.java:19-89]
+- doc_stats    docid, field, doclen                            [DocLengthStore,
+               hw5/QryEval/DocLengthStore.java:24-40]
+- postings     term, field, docid, tf, positions, df, ctf      [InvList rows,
+               hw5/QryEval/InvList.java:17-46 — docid-ascending per (term,field);
+               df/ctf denormalized onto each row so a term scan needs no join]
+- term_stats   term, field, df, ctf                            [InvList.java:102-103]
+- corpus_stats field, n_docs, sum_doclen, avgdl (+ N = total docs) [QryopSlScore
+               .java:118,129-130,156 pulls these ad-hoc from the Lucene reader]
+
+Positions are 0-based indexes into the post-stopword token sequence; doclen
+counts post-stopword tokens (see tokenize.py docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.tokenize import Tokenizer, WHITESPACE_TOKENIZER
+
+
+@dataclass
+class CorpusStats:
+    """Driver-side broadcast of the tiny per-field aggregates."""
+
+    n_docs: int  # numDocs() analog — total docs in the index
+    by_field: dict  # field -> {"n_docs": int, "sum_doclen": int, "avgdl": float}
+
+    def avgdl(self, fld: str) -> float:
+        return self.by_field[fld]["avgdl"]
+
+    def sum_doclen(self, fld: str) -> int:
+        return self.by_field[fld]["sum_doclen"]
+
+
+@dataclass
+class IndexTables:
+    """The queryable index: a handful of DataFrames + broadcast scalars."""
+
+    doc_ids: DataFrame      # docid, ext_docid
+    doc_terms: DataFrame    # docid, field, term, tf, positions (forward index)
+    doc_stats: DataFrame    # docid, field, doclen
+    postings: DataFrame     # term, field, docid, tf, positions, df, ctf
+    term_stats: DataFrame   # term, field, df, ctf
+    corpus: CorpusStats
+    fields: tuple
+
+    def term_postings(self, term: str, fld: str) -> DataFrame:
+        """TERM scan (QryopIlTerm.java:56-60): one term's posting list.
+
+        An equality predicate on (term, field) — pushed down to the parquet
+        scan / pruned to one bucket when the postings table is persisted
+        partitioned by term bucket.
+        """
+        return self.postings.where(
+            (F.col("term") == term) & (F.col("field") == fld)
+        )
+
+
+def tokenize_fields(
+    docs: DataFrame, fields: dict[str, str], tokenizer: Tokenizer
+) -> DataFrame:
+    """documents -> (docid, field, pos, term), one row per token occurrence.
+
+    `fields` maps index-field name -> source column (e.g. {"body": "content"}).
+    Tokenization is a JVM split/lower/filter expression; posexplode assigns
+    0-based positions. No Python in the loop.
+    """
+    per_field = []
+    for fld, src in fields.items():
+        toks = tokenizer.tokens_col(F.col(src))
+        per_field.append(
+            docs.select(
+                "docid",
+                F.lit(fld).alias("field"),
+                F.posexplode(toks).alias("pos", "term"),
+            )
+        )
+    out = per_field[0]
+    for df in per_field[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    fields: dict[str, str] | None = None,
+    ext_col: str = "ext_docid",
+    tokenizer: Tokenizer = WHITESPACE_TOKENIZER,
+    cache: bool = True,
+) -> IndexTables:
+    """Build all index tables from a documents DataFrame.
+
+    `docs` must carry `docid` (long, unique) and `ext_col` (the external id,
+    the tie-break key of SURVEY.md §2.6). At cluster scale the caller persists
+    the returned tables (see index.persist / index.checkpoint); here they stay
+    lazy/cached DataFrames so local tests compose cheaply.
+    """
+    fields = fields or {"body": "text"}
+
+    doc_ids = docs.select("docid", F.col(ext_col).alias("ext_docid"))
+
+    tokens = tokenize_fields(docs, fields, tokenizer)
+
+    # Forward index (TermVector analog): one aggregation, positions kept sorted.
+    doc_terms = tokens.groupBy("docid", "field", "term").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
+    if cache:
+        doc_terms = doc_terms.cache()
+
+    # DocLengthStore analog. Derived from doc_terms (sum tf) rather than the
+    # raw token stream so a cached doc_terms serves both.
+    doc_stats = doc_terms.groupBy("docid", "field").agg(
+        F.sum("tf").cast("long").alias("doclen")
+    )
+    if cache:
+        doc_stats = doc_stats.cache()
+
+    term_stats = doc_terms.groupBy("term", "field").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+    )
+    if cache:
+        term_stats = term_stats.cache()
+
+    # Postings with df/ctf AND doclen denormalized per row: a term scan then
+    # needs NO join at query time (BM25 = scan -> codegen'd expression -> agg).
+    # df/ctf come from a window over the (term,field) group — same shuffle key
+    # as the aggregation; doclen is a one-time (docid,field) join at build.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("term", "field")
+    postings = doc_terms.join(doc_stats, ["docid", "field"]).select(
+        "term",
+        "field",
+        "docid",
+        "tf",
+        "positions",
+        "doclen",
+        F.count("*").over(w).cast("long").alias("df"),
+        F.sum("tf").over(w).cast("long").alias("ctf"),
+    )
+
+    # Tiny broadcast aggregates (one row per field + the doc count).
+    n_docs = docs.count()
+    rows = (
+        doc_stats.groupBy("field")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doclen").cast("long").alias("sum_doclen"),
+        )
+        .collect()
+    )
+    by_field = {
+        r["field"]: {
+            "n_docs": r["n_docs"],
+            "sum_doclen": r["sum_doclen"],
+            "avgdl": r["sum_doclen"] / r["n_docs"] if r["n_docs"] else 0.0,
+        }
+        for r in rows
+    }
+    corpus = CorpusStats(n_docs=n_docs, by_field=by_field)
+
+    return IndexTables(
+        doc_ids=doc_ids,
+        doc_terms=doc_terms,
+        doc_stats=doc_stats,
+        postings=postings,
+        term_stats=term_stats,
+        corpus=corpus,
+        fields=tuple(fields),
+    )
