@@ -1,0 +1,506 @@
+"""Driver-contract queries: Spark plan + DuckDB oracle twin per operator.
+
+Each entry runs the engine against /root/testdata/sf*/documents.parquet
+(schema doc_id, text, lang, source, n_chars; docid = ext id = doc_id) and is
+checked by the driver against the matching ANSI-SQL oracle executed by DuckDB
+on the same parquet (order-insensitive value-hash), so:
+
+- every numeric literal in the SQL is written so DuckDB computes the SAME
+  IEEE double the Spark expression uses (associativity matters — see
+  engine/score.py);
+- per-term scores are float32-cast in both engines (CAST(x AS REAL)), making
+  double-sum order-independent for small k;
+- all integer outputs are cast to BIGINT on both sides, ranks to INT.
+
+Positional operators (#NEAR/#WINDOW) are not SQL-expressible with their
+consume-on-match semantics — they're covered rows-only here and exactly in
+tests/ against the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import (
+    BM25,
+    INDRI,
+    RANKED_BOOLEAN,
+    UNRANKED_BOOLEAN,
+    BM25Params,
+    IndriParams,
+    ModelConfig,
+)
+from search_engine_spark.engine.runner import Engine
+from search_engine_spark.index.build import build_index
+from search_engine_spark.tokenize import WHITESPACE_TOKENIZER
+
+# ---------------------------------------------------------------------------
+# shared SQL prelude: tokenize + stats tables, mirroring index/build.py
+# ---------------------------------------------------------------------------
+
+SQL_PRELUDE = r"""
+WITH docs_t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+tok0 AS (SELECT doc_id, unnest(list_zip(toks, range(len(toks)))) AS z FROM docs_t),
+tok  AS (SELECT doc_id, z[1] AS term, CAST(z[2] AS BIGINT) AS pos FROM tok0),
+tfs  AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl   AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY 1),
+dfstats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf FROM tfs GROUP BY 1),
+consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                  (SELECT sum(doclen) FROM dl)::DOUBLE AS c_len,
+                  (SELECT sum(doclen)::DOUBLE / count(*) FROM dl) AS avgdl)
+"""
+
+_B = BM25Params()
+_I = IndriParams()
+
+FLAGSHIP_TERMS = ["spark", "query", "table", "dup"]
+
+
+def _sql_in(terms: list[str]) -> str:
+    return "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+
+
+def _bm25_scores_cte(terms: list[str]) -> str:
+    """Per-(doc,term) BM25 score — float32-cast like QryopSlScore.java:134."""
+    return f"""
+scores AS (
+  SELECT t.doc_id,
+         CAST(CAST(
+           greatest(0.0, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           * (t.tf / (t.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))
+         AS REAL) AS DOUBLE) AS score
+  FROM tfs t
+  JOIN dfstats d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN consts c
+  WHERE t.term IN {_sql_in(terms)}
+)"""
+
+
+def _topk_sql(k: int, f32_out: bool = False) -> str:
+    score = "CAST(CAST(score AS REAL) AS DOUBLE)" if f32_out else "score"
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id AS docid, {score} AS score
+FROM agg
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def _indri_term_score_sql(term: str) -> str:
+    """Indri evaluate-path: (1-λ)·((tf + µ·mle)/(doclen+µ)) + λ·mle, f32-cast."""
+    mle = f"((SELECT ctf FROM dfstats WHERE term = '{term}') / c.c_len)"
+    return (
+        f"CAST(CAST((1.0 - {_I.lam!r}) * ((t.tf + {_I.mu!r} * {mle}) / (l.doclen + {_I.mu!r}))"
+        f" + {_I.lam!r} * {mle} AS REAL) AS DOUBLE)"
+    )
+
+
+def _indri_default_sql(term: str) -> str:
+    """Indri default path: ((1-λ)·(µ·mle))/(doclen+µ) + λ·mle, NOT f32-cast
+    (getDefaultScore returns a raw double)."""
+    mle = f"((SELECT ctf FROM dfstats WHERE term = '{term}') / c.c_len)"
+    return (
+        f"((1.0 - {_I.lam!r}) * ({_I.mu!r} * {mle}) / (l.doclen + {_I.mu!r})"
+        f" + {_I.lam!r} * {mle})"
+    )
+
+
+def _indri_join_sql(terms: list[str]) -> str:
+    """cands (union of term postings) LEFT JOIN per-term actual scores,
+    coalesced with default scores — the full-outer Indri combine."""
+    ctes = [
+        f"""s{i} AS (
+  SELECT t.doc_id, {_indri_term_score_sql(t_)} AS s
+  FROM tfs t JOIN dl l USING (doc_id) CROSS JOIN consts c
+  WHERE t.term = '{t_}'
+)"""
+        for i, t_ in enumerate(terms)
+    ]
+    cands = f"cands AS (SELECT DISTINCT doc_id FROM tfs WHERE term IN {_sql_in(terms)})"
+    joins = "\n  ".join(
+        f"LEFT JOIN s{i} ON s{i}.doc_id = cands.doc_id" for i in range(len(terms))
+    )
+    cols = ", ".join(
+        f"coalesce(s{i}.s, {_indri_default_sql(t_)}) AS c{i}"
+        for i, t_ in enumerate(terms)
+    )
+    per = f"""per AS (
+  SELECT cands.doc_id, {cols}
+  FROM cands
+  JOIN dl l ON l.doc_id = cands.doc_id
+  CROSS JOIN consts c
+  {joins}
+)"""
+    return ",\n".join([cands] + ctes + [per])
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+_INDEX_CACHE: dict = {}
+
+
+def load_documents_index(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.col("doc_id").cast("long").alias("ext_docid"),
+            "text",
+        )
+        idx = build_index(
+            spark, docs, fields={"body": "text"}, tokenizer=WHITESPACE_TOKENIZER
+        )
+        # materialize the cached forward index once; every query reuses it
+        idx.doc_terms.count()
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _engine(spark: SparkSession, sf_dir: str, model: str) -> Engine:
+    return Engine(load_documents_index(spark, sf_dir), ModelConfig(name=model))
+
+
+def _topk_df(eng: Engine, query: str, k: int, f32_out: bool = False) -> DataFrame:
+    """f32_out: round the REPORTED score to float32 on both sides of the
+    oracle comparison. Used for pow()-based scores (#AND-Indri, #WAND) where
+    JVM Math.pow and DuckDB's libm pow legitimately differ by 1 ulp — ranking
+    still uses the full-precision (reference-exact) doubles."""
+    score = F.col("score")
+    if f32_out:
+        score = score.cast("float").cast("double")
+    return eng.search(query, k).select(
+        "rank", F.col("docid").cast("long").alias("docid"), score.alias("score")
+    )
+
+
+def _pos_str(col: str = "positions"):
+    return F.array_join(F.col(col), ",").alias("pos_str")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict = {}
+_ORACLES: dict = {}
+
+
+def _register(name: str, fn, sql: str | None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+# -- S1: term posting-list scan ---------------------------------------------
+
+
+def _q_term_postings(spark, sf_dir):
+    idx = load_documents_index(spark, sf_dir)
+    return idx.term_postings("spark", "body").select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doclen").cast("long").alias("doclen"),
+        F.col("df").cast("long").alias("df"),
+        F.col("ctf").cast("long").alias("ctf"),
+        _pos_str(),
+    )
+
+
+_register(
+    "term_postings",
+    _q_term_postings,
+    SQL_PRELUDE
+    + r""",
+pos AS (SELECT doc_id, array_to_string(list(pos ORDER BY pos), ',') AS pos_str
+        FROM tok WHERE term = 'spark' GROUP BY 1)
+SELECT t.doc_id AS docid, t.tf, l.doclen, d.df, d.ctf, p.pos_str
+FROM tfs t
+JOIN dl l USING (doc_id)
+JOIN dfstats d USING (term)
+JOIN pos p USING (doc_id)
+WHERE t.term = 'spark'""",
+)
+
+
+# -- flagship: BM25 #SUM top-k ----------------------------------------------
+
+
+def _q_bm25_topk(spark, sf_dir):
+    return _topk_df(_engine(spark, sf_dir, BM25), " ".join(FLAGSHIP_TERMS), 100)
+
+
+_register(
+    "bm25_sum_topk",
+    _q_bm25_topk,
+    SQL_PRELUDE
+    + ","
+    + _bm25_scores_cte(FLAGSHIP_TERMS)
+    + ",\nagg AS (SELECT doc_id, sum(score) AS score FROM scores GROUP BY 1)"
+    + _topk_sql(100),
+)
+
+
+def _q_bm25_all(spark, sf_dir):
+    return _engine(spark, sf_dir, BM25).scores("big data fast scan merge join dup").select(
+        F.col("docid").cast("long").alias("docid"), "score"
+    )
+
+
+_register(
+    "bm25_sum_scores_all",
+    _q_bm25_all,
+    SQL_PRELUDE
+    + ","
+    + _bm25_scores_cte(["big", "data", "fast", "scan", "merge", "join", "dup"])
+    + "\nSELECT doc_id AS docid, sum(score) AS score FROM scores GROUP BY 1",
+)
+
+
+# -- Boolean AND / OR ---------------------------------------------------------
+
+
+def _q_unranked_and_topk(spark, sf_dir):
+    return _topk_df(
+        _engine(spark, sf_dir, UNRANKED_BOOLEAN), "#AND(spark query)", 50
+    )
+
+
+_register(
+    "unranked_and_topk",
+    _q_unranked_and_topk,
+    SQL_PRELUDE
+    + r""",
+agg AS (
+  SELECT doc_id, CAST(CAST(1.0 AS REAL) AS DOUBLE) AS score
+  FROM tfs WHERE term IN ('spark', 'query')
+  GROUP BY doc_id HAVING count(*) = 2
+)"""
+    + _topk_sql(50),
+)
+
+
+def _q_ranked_and(spark, sf_dir):
+    return _engine(spark, sf_dir, RANKED_BOOLEAN).scores("#AND(spark query)").select(
+        F.col("docid").cast("long").alias("docid"), "score"
+    )
+
+
+_register(
+    "ranked_and_scores",
+    _q_ranked_and,
+    SQL_PRELUDE
+    + r"""
+SELECT doc_id AS docid, min(CAST(CAST(tf AS REAL) AS DOUBLE)) AS score
+FROM tfs WHERE term IN ('spark', 'query')
+GROUP BY doc_id HAVING count(*) = 2""",
+)
+
+
+def _q_ranked_or(spark, sf_dir):
+    return _engine(spark, sf_dir, RANKED_BOOLEAN).scores(
+        "#OR(spark query dup)"
+    ).select(F.col("docid").cast("long").alias("docid"), "score")
+
+
+_register(
+    "ranked_or_scores",
+    _q_ranked_or,
+    SQL_PRELUDE
+    + r"""
+SELECT doc_id AS docid, max(CAST(CAST(tf AS REAL) AS DOUBLE)) AS score
+FROM tfs WHERE term IN ('spark', 'query', 'dup')
+GROUP BY doc_id""",
+)
+
+
+# -- SYN ----------------------------------------------------------------------
+
+
+def _q_syn(spark, sf_dir):
+    eng = _engine(spark, sf_dir, RANKED_BOOLEAN)
+    from search_engine_spark.engine.compiler import compile_node
+
+    node = compile_node(eng.parse("#SYN(sort merge)").children[0], eng.ctx)
+    return node.postings(eng.ctx).select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col("tf").cast("long").alias("tf"),
+        _pos_str(),
+    )
+
+
+_register(
+    "syn_postings",
+    _q_syn,
+    SQL_PRELUDE
+    + r"""
+SELECT doc_id AS docid, count(*)::BIGINT AS tf,
+       array_to_string(list(pos ORDER BY pos), ',') AS pos_str
+FROM tok WHERE term IN ('sort', 'merge')
+GROUP BY doc_id""",
+)
+
+
+# -- NEAR / WINDOW (rows-only: consume-on-match walks aren't ANSI-SQL) -------
+
+
+def _il_query(spark, sf_dir, qtext: str):
+    eng = _engine(spark, sf_dir, RANKED_BOOLEAN)
+    from search_engine_spark.engine.compiler import compile_node
+
+    node = compile_node(eng.parse(qtext).children[0], eng.ctx)
+    return node.postings(eng.ctx).select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col("tf").cast("long").alias("tf"),
+        _pos_str(),
+    )
+
+
+_register("near2_postings", lambda s, d: _il_query(s, d, "#NEAR/2(fast sort)"), None)
+_register("window8_postings", lambda s, d: _il_query(s, d, "#WINDOW/8(key value hash)"), None)
+
+
+# -- Indri family -------------------------------------------------------------
+
+_INDRI_TERMS = ["spark", "query", "table"]
+
+
+def _q_indri_and_topk(spark, sf_dir):
+    return _topk_df(_engine(spark, sf_dir, INDRI), " ".join(_INDRI_TERMS), 100, f32_out=True)
+
+
+def _indri_and_sql(terms: list[str], k: int) -> str:
+    prod = " * ".join(f"c{i}" for i in range(len(terms)))
+    return (
+        SQL_PRELUDE
+        + ",\n"
+        + _indri_join_sql(terms)
+        + f",\nagg AS (SELECT doc_id, pow({prod}, (1.0 / {len(terms)})) AS score FROM per)"
+        + _topk_sql(k, f32_out=True)
+    )
+
+
+_register("indri_and_topk", _q_indri_and_topk, _indri_and_sql(_INDRI_TERMS, 100))
+
+
+_WAND_SPEC = [(0.7, "spark"), (0.2, "query"), (0.1, "dup")]
+
+
+def _q_indri_wand_topk(spark, sf_dir):
+    q = "#WAND(" + " ".join(f"{w} {t}" for w, t in _WAND_SPEC) + ")"
+    return _topk_df(_engine(spark, sf_dir, INDRI), q, 100, f32_out=True)
+
+
+def _wand_sql(spec, k: int) -> str:
+    terms = [t for _, t in spec]
+    W = sum(w for w, _ in spec)
+    # score = 1.0 * pow(c0, w0/W) * pow(c1, w1/W) * ... in child order
+    prod = "1.0"
+    for i, (w, _) in enumerate(spec):
+        prod = f"{prod} * pow(c{i}, {w / W!r})"
+    return (
+        SQL_PRELUDE
+        + ",\n"
+        + _indri_join_sql(terms)
+        + f",\nagg AS (SELECT doc_id, {prod} AS score FROM per)"
+        + _topk_sql(k, f32_out=True)
+    )
+
+
+_register("indri_wand_topk", _q_indri_wand_topk, _wand_sql(_WAND_SPEC, 100))
+
+
+_WSUM_SPEC = [(0.5, "spark"), (0.3, "query"), (0.2, "table")]
+
+
+def _q_indri_wsum_topk(spark, sf_dir):
+    q = "#WSUM(" + " ".join(f"{w} {t}" for w, t in _WSUM_SPEC) + ")"
+    return _topk_df(_engine(spark, sf_dir, INDRI), q, 100)
+
+
+def _wsum_sql(spec, k: int) -> str:
+    terms = [t for _, t in spec]
+    W = sum(w for w, _ in spec)
+    acc = "0.0"
+    for i, (w, _) in enumerate(spec):
+        acc = f"{acc} + c{i} * {w / W!r}"
+    return (
+        SQL_PRELUDE
+        + ",\n"
+        + _indri_join_sql(terms)
+        + f",\nagg AS (SELECT doc_id, {acc} AS score FROM per)"
+        + _topk_sql(k)
+    )
+
+
+_register("indri_wsum_topk", _q_indri_wsum_topk, _wsum_sql(_WSUM_SPEC, 100))
+
+
+# -- stats tables -------------------------------------------------------------
+
+
+def _q_term_stats(spark, sf_dir):
+    idx = load_documents_index(spark, sf_dir)
+    return idx.term_stats.select(
+        "term", F.col("df").cast("long").alias("df"), F.col("ctf").cast("long").alias("ctf")
+    )
+
+
+_register(
+    "term_stats_all",
+    _q_term_stats,
+    SQL_PRELUDE + "\nSELECT term, df, ctf FROM dfstats",
+)
+
+
+def _q_doc_stats(spark, sf_dir):
+    idx = load_documents_index(spark, sf_dir)
+    return idx.doc_stats.select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col("doclen").cast("long").alias("doclen"),
+    )
+
+
+_register(
+    "doc_stats_all",
+    _q_doc_stats,
+    SQL_PRELUDE + "\nSELECT doc_id AS docid, doclen FROM dl",
+)
+
+
+def _q_corpus_stats(spark, sf_dir):
+    idx = load_documents_index(spark, sf_dir)
+    st = idx.corpus.by_field["body"]
+    return spark.createDataFrame(
+        [(idx.corpus.n_docs, st["n_docs"], st["sum_doclen"], st["avgdl"])],
+        "n_docs bigint, n_docs_field bigint, sum_doclen bigint, avgdl double",
+    )
+
+
+_register(
+    "corpus_stats",
+    _q_corpus_stats,
+    SQL_PRELUDE
+    + r"""
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_docs_field,
+       sum(doclen)::BIGINT AS sum_doclen,
+       sum(doclen)::DOUBLE / count(*) AS avgdl
+FROM dl""",
+)
+
+
+def all_queries() -> dict:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict:
+    return dict(_ORACLES)

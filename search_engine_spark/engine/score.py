@@ -79,8 +79,11 @@ def indri_score(
     doclen = (F.col("doclen") if doclen is None else doclen).cast("double")
     ctfc = F.lit(ctf).cast("double") if not isinstance(ctf, Column) else ctf.cast("double")
     mle = ctfc / F.lit(float(c_len))
+    # association matches the reference exactly: part1 = (1-λ)·((tf+µ·mle)/(doclen+µ))
+    # — note the DEFAULT path below associates differently ((1-λ)·(µ·mle))/(doclen+µ),
+    # as the Java does; the two differ in ulps, and ranks depend on it.
     score = (
-        F.lit(1.0 - p.lam) * (tf + F.lit(p.mu) * mle) / (doclen + F.lit(p.mu))
+        F.lit(1.0 - p.lam) * ((tf + F.lit(p.mu) * mle) / (doclen + F.lit(p.mu)))
         + F.lit(p.lam) * mle
     )
     return _f32(score)
@@ -98,8 +101,9 @@ def indri_default_score(
     doclen = (F.col("doclen") if doclen is None else doclen).cast("double")
     ctfc = F.lit(ctf).cast("double") if not isinstance(ctf, Column) else ctf.cast("double")
     mle = ctfc / F.lit(float(c_len))
-    score = (
+    # NOT float32-cast: getDefaultScore returns a raw double (the float cast
+    # happens only on the evaluate path's docScores.add) — QryopSlScore.java:195
+    return (
         F.lit(1.0 - p.lam) * (F.lit(p.mu) * mle) / (doclen + F.lit(p.mu))
         + F.lit(p.lam) * mle
     )
-    return _f32(score)
