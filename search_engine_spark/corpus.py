@@ -1,0 +1,189 @@
+"""Deterministic synthetic source-code corpus (the north-rule input shape).
+
+The engine's production input is an Iceberg table of source-code repositories
+with columns ``(repo:string, path:string, commit:string, lang:string,
+content:string)``. No external data exists in this sandbox, so tests and
+benches synthesise that table deterministically per FIXTURES.md §1:
+
+- ~2,000 identifier-like vocabulary terms with Zipf(s≈1.1) frequencies;
+- ~15 heavy keyword terms per lang (``def``/``return``/``public``…) appearing
+  in >60% of docs — the stopword-grade skew the index build must defuse with
+  salting (SURVEY.md §4.2);
+- planted adjacent phrases (``open file handle``, ``lock free queue``,
+  ``ring buffer slot``) so #NEAR/#WINDOW have known answers;
+- df=1 terms (``rare_alpha``/``rare_beta``) and one term absent from the
+  corpus entirely (``absent_term_zz`` — the empty-postings path);
+- doc length 20–2000 tokens, Zipf-ish.
+
+Everything derives from ``random.Random(seed)`` — same seed, same corpus,
+byte-for-byte. sha256(content) is the per-row invariant the pytest gate
+checks against the source table (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import bisect
+import hashlib
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# FIXTURES.md §1: lang categorical with fixed weights
+LANGS = ["python", "java", "scala", "go", "js"]
+_LANG_W = [0.35, 0.25, 0.15, 0.15, 0.10]
+_EXT = {"python": "py", "java": "java", "scala": "scala", "go": "go", "js": "js"}
+
+KEYWORDS_BY_LANG = {
+    "python": "def return import class if else for while self lambda yield pass try except with".split(),
+    "java": "public void static final class int return new if else for while import private this".split(),
+    "scala": "def val var object trait case match class import return if else for yield new".split(),
+    "go": "func return package import var type struct range if else for defer go chan map".split(),
+    "js": "function return const let var class import export if else for while new this async".split(),
+}
+ALL_KEYWORDS = sorted({k for v in KEYWORDS_BY_LANG.values() for k in v})
+
+PHRASES = [
+    ["open", "file", "handle"],
+    ["lock", "free", "queue"],
+    ["ring", "buffer", "slot"],
+]
+
+RARE_TERMS = ["rare_alpha", "rare_beta", "rare_gamma"]
+ABSENT_TERM = "absent_term_zz"  # never generated — empty-postings edge
+
+_STEMS = [
+    "parse", "token", "index", "merge", "shard", "query", "score", "rank",
+    "batch", "codec", "varint", "delta", "block", "posting", "doc", "field",
+    "stat", "count", "hash", "salt", "split", "scan", "filter", "join",
+    "sort", "heap", "topk", "bm25", "idf", "norm", "read", "write", "flush",
+    "sync", "pool", "node", "tree", "list", "map", "set", "key", "value",
+    "iter", "spark", "frame", "column", "row", "table", "plan", "stage",
+]
+_ACTIONS = [
+    "init", "next", "prev", "push", "pop", "peek", "load", "store", "emit",
+    "drain", "seek", "skip", "grow", "pack", "unpack", "encode", "decode",
+    "align", "probe", "build", "close", "reset", "clear", "swap", "take",
+    "put", "get", "find", "bind", "free", "alloc", "copy", "move", "fill",
+    "test", "mark", "scan2", "run", "step", "tick",
+]
+
+
+def _build_vocab() -> list[str]:
+    """~2,000 identifier-like terms, deterministic order."""
+    vocab = []
+    for s in _STEMS:
+        for a in _ACTIONS:
+            vocab.append(f"{s}_{a}")
+            if len(vocab) >= 2000:
+                return vocab
+    return vocab
+
+
+VOCAB = _build_vocab()
+
+# Zipf(s=1.1) cumulative weights over VOCAB ranks
+_ZIPF_CUM: list[float] = []
+_acc = 0.0
+for _r in range(len(VOCAB)):
+    _acc += 1.0 / (_r + 1) ** 1.1
+    _ZIPF_CUM.append(_acc)
+_ZIPF_TOTAL = _acc
+
+CODE_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def _zipf_term(rng: random.Random) -> str:
+    u = rng.random() * _ZIPF_TOTAL
+    return VOCAB[bisect.bisect_left(_ZIPF_CUM, u)]
+
+
+def _doc_len(rng: random.Random) -> int:
+    """20–2000 tokens, Zipf-ish (most docs short, a fat tail)."""
+    u = rng.random()
+    return min(2000, int(20 * math.exp(u * math.log(100))))
+
+
+def generate_code_rows(n_files: int, seed: int = 42) -> list[tuple]:
+    """Deterministic rows (repo, path, commit, lang, content)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_files):
+        r = rng.randrange(max(1, n_files // 40))
+        repo = f"org{r // 25}/repo{r}"
+        lang = rng.choices(LANGS, weights=_LANG_W)[0]
+        d1, d2 = _zipf_term(rng), _zipf_term(rng)
+        path = f"src/{d1}/{d2}/file_{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:40]
+
+        kws = KEYWORDS_BY_LANG[lang]
+        n_tok = _doc_len(rng)
+        toks: list[str] = []
+        while len(toks) < n_tok:
+            u = rng.random()
+            if u < 0.30:  # heavy keyword skew (>60% of docs get several)
+                toks.append(rng.choice(kws))
+            elif u < 0.33 and len(toks) + 3 <= n_tok + 3:
+                toks.extend(rng.choice(PHRASES))  # planted adjacent phrase
+            elif u < 0.35:
+                # near-phrase with a gap token (exercises #NEAR distances)
+                ph = rng.choice(PHRASES)
+                toks.extend([ph[0], _zipf_term(rng), ph[1], ph[2]])
+            else:
+                toks.append(_zipf_term(rng))
+        # df=1 terms: planted in exactly one fixed doc each
+        for j, rare in enumerate(RARE_TERMS):
+            if i == (7 * (j + 1)) % max(1, n_files):
+                toks.append(rare)
+        # code-ish punctuation the code tokenizer must strip
+        parts = []
+        for j, t in enumerate(toks):
+            if j % 13 == 12:
+                parts.append(f"{t}(x):\n")
+            elif j % 7 == 6:
+                parts.append(f"{t};")
+            else:
+                parts.append(t)
+        rows.append((repo, path, commit, lang, " ".join(parts)))
+    return rows
+
+
+def code_corpus_df(
+    spark: SparkSession, n_files: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """The synthetic Iceberg-shaped source table as a DataFrame."""
+    rows = generate_code_rows(n_files, seed)
+    df = spark.createDataFrame(rows, CODE_DOC_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
+
+
+def with_docids(docs: DataFrame) -> DataFrame:
+    """Assign the dense internal docid + the external id string.
+
+    ext id = ``repo:path@commit`` (SURVEY.md §1.1); docid = row_number over
+    the natural key — assigned ONCE at ingest, deterministic for a given
+    table. At 100 TB the window sort shuffles only the (tiny) key columns,
+    once per corpus version, amortised over every query.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("repo", "path", "commit")
+    return docs.select(
+        F.row_number().over(w).cast("long").alias("docid"),
+        F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
+                    F.lit("@"), F.col("commit")).alias("ext_docid"),
+        "repo", "path", "commit", "lang", "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )

@@ -165,22 +165,90 @@ def _flat_scan(ctx: EvalContext, leaves: list[TermNode]) -> DataFrame:
     """One postings scan covering all (term, field) leaf pairs, with the
     per-term score as a single expression column."""
     pairs = {(l.term, l.field) for l in leaves}
-    cond = reduce(
-        lambda a, b: a | b,
-        [(F.col("term") == t) & (F.col("field") == f) for t, f in pairs],
-    )
     fields = {f for _, f in pairs}
-    scan = ctx.index.postings.where(cond)
+    scan = ctx.index.postings_for(sorted(pairs))
     return scan.select(
         "docid", "term", "field", _leaf_score_col(ctx, fields).alias("score")
     )
+
+
+def try_flat_indri(ctx: EvalContext, node) -> DataFrame | None:
+    """Fast-path for flat Indri #AND / #WAND / #WSUM over single-field term
+    leaves: ONE postings scan + ONE hash aggregate pivoting each term's tf
+    into a column, then the per-child score as
+    `when(tf_i present, f32(indri_score)) otherwise default_score` and the
+    combine (geo-mean / weighted product / weighted sum) in child order —
+    bit-identical to the general full-outer-join path (ops.py J2/J5/J6) but
+    with zero joins: the union-of-candidates IS the groupBy key set.
+
+    At cluster scale this turns a k-way shuffle-join cascade into a single
+    partial+final aggregation over the k pruned posting-list scans.
+    """
+    if ctx.model.name != INDRI:
+        return None
+    if not isinstance(node, (IndriAndNode, WandNode, WsumNode)):
+        return None
+    leaves = _flat_term_leaves(node)
+    if leaves is None:
+        return None
+    fields = {l.field for l in leaves}
+    if len(fields) != 1:
+        return None
+    fld = next(iter(fields))
+    c_len = ctx.index.corpus.sum_doclen(fld)
+    p = ctx.model.indri
+
+    pairs = list(dict.fromkeys((l.term, l.field) for l in leaves))
+    ctx.prefetch_terms(set(pairs))
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"_tf{j}")
+        for j, (t, _) in enumerate(pairs)
+    ]
+    base = (
+        ctx.index.postings_for(pairs)
+        .select("docid", "term", "tf", "doclen")
+        .groupBy("docid")
+        .agg(*aggs, F.max("doclen").alias("doclen"))
+    )
+
+    col_by_pair = {}
+    for j, (t, f) in enumerate(pairs):
+        _, ctf = ctx.term_stat(t, f)
+        tf_col = F.col(f"_tf{j}")
+        actual = score_mod.indri_score(
+            ctf=ctf, c_len=c_len, p=p, tf=tf_col, doclen=F.col("doclen")
+        )
+        default = score_mod.indri_default_score(
+            ctf=ctf, c_len=c_len, p=p, doclen=F.col("doclen")
+        )
+        col_by_pair[(t, f)] = F.when(tf_col.isNotNull(), actual).otherwise(default)
+    child_cols = [col_by_pair[(l.term, l.field)] for l in leaves]
+
+    if isinstance(node, IndriAndNode):
+        prod = reduce(lambda a, b: a * b, child_cols)
+        expr = F.pow(prod, F.lit(1.0 / len(child_cols)))
+    elif isinstance(node, WandNode):
+        W = float(sum(node.weights))
+        if W == 0:
+            return None  # all-zero weights: general path handles the NaN case
+        expr = F.lit(1.0)
+        for c, w in zip(child_cols, node.weights):
+            expr = expr * F.pow(c, F.lit(w / W))
+    else:  # WsumNode
+        W = float(sum(node.weights))
+        if W == 0:
+            return None
+        expr = F.lit(0.0)
+        for c, w in zip(child_cols, node.weights):
+            expr = expr + c * F.lit(w / W)
+    return base.select("docid", expr.alias("score"))
 
 
 def try_flat_scores(ctx: EvalContext, node) -> DataFrame | None:
     """Fast-path scores() for flat #SUM / #OR / #AND. Returns None when the
     shape doesn't apply; semantics identical to the general path."""
     if not isinstance(node, (SumNode, OrNode, AndBoolNode)):
-        return None
+        return try_flat_indri(ctx, node)
     leaves = _flat_term_leaves(node)
     if leaves is None:
         return None

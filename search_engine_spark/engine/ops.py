@@ -291,9 +291,16 @@ def _positional_node_postings(
                     docids.append(docid)
                     tfs.append(len(res))
                     poss.append(res)
+            # positions must be an object column even when empty — an empty
+            # plain column defaults to float64, which Arrow can't convert to
+            # list<int32>
             yield pd.DataFrame(
-                {"docid": docids, "tf": tfs, "positions": poss}
-            ).astype({"docid": "int64", "tf": "int32"}, errors="ignore")
+                {
+                    "docid": pd.Series(docids, dtype="int64"),
+                    "tf": pd.Series(tfs, dtype="int32"),
+                    "positions": pd.Series(poss, dtype="object"),
+                }
+            )
 
     # mapInPandas: Arrow-batched; the per-row python walk touches only docs
     # containing ALL k terms (the join already filtered), so the Python-side
@@ -484,7 +491,9 @@ def _indri_chain_join(
 ) -> tuple[DataFrame, list]:
     """Join each child's scores_with_default(cands) on docid; returns the
     joined frame and the per-child score column names (in child order, so
-    combine expressions multiply/add left-to-right like the reference)."""
+    combine expressions multiply/add left-to-right like the reference).
+    Fallback path — only nested Sl children (Indri op inside Indri op)
+    reach it; flat Il-backed children take _indri_pivot_scores."""
     out = cands.select("docid")
     cols = []
     for i, c in enumerate(children):
@@ -492,6 +501,60 @@ def _indri_chain_join(
         out = out.join(s, "docid")
         cols.append(f"_s{i}")
     return out, cols
+
+
+def _indri_pivot_scores(ctx: EvalContext, children: list, combine) -> DataFrame | None:
+    """Single-aggregation plan for Indri combines whose children are all
+    #SCORE(il) on one field: union the child postings tagged with a child
+    index, pivot tf per child in ONE hash aggregate (the groupBy key set IS
+    the reference's union-of-candidates, QryopSlIndriAnd.java:33-82), then
+    per-child `when(tf present, f32(indri_score)) otherwise default(doclen)`
+    and `combine(cols)` in child order — bit-identical to the join cascade
+    but with one shuffle instead of k.
+
+    `combine`: list[Column] (child order) -> Column."""
+    if ctx.model.name != INDRI:
+        return None
+    if not all(isinstance(c, ScoreNode) for c in children):
+        return None
+    fields = {c.child.field for c in children}
+    if len(fields) != 1:
+        return None
+    fld = fields.pop()
+    c_len = ctx.index.corpus.sum_doclen(fld)
+    p = ctx.model.indri
+
+    frames = []
+    for i, c in enumerate(children):
+        posts = _with_doclen(ctx, c.child.postings(ctx), fld)
+        frames.append(
+            posts.select(
+                "docid",
+                F.lit(i).alias("_ci"),
+                F.col("tf").cast("int").alias("tf"),
+                "doclen",
+            )
+        )
+    unioned = reduce(DataFrame.unionByName, frames)
+    k = len(children)
+    aggs = [
+        F.max(F.when(F.col("_ci") == i, F.col("tf"))).alias(f"_tf{i}")
+        for i in range(k)
+    ]
+    base = unioned.groupBy("docid").agg(*aggs, F.max("doclen").alias("doclen"))
+
+    cols = []
+    for i, c in enumerate(children):
+        _, ctf_val = c.child.list_stats(ctx)
+        tf_col = F.col(f"_tf{i}")
+        actual = score_mod.indri_score(
+            ctf=ctf_val, c_len=c_len, p=p, tf=tf_col, doclen=F.col("doclen")
+        )
+        default = score_mod.indri_default_score(
+            ctf=ctf_val, c_len=c_len, p=p, doclen=F.col("doclen")
+        )
+        cols.append(F.when(tf_col.isNotNull(), actual).otherwise(default))
+    return base.select("docid", combine(cols).alias("score"))
 
 
 @dataclass
@@ -502,16 +565,21 @@ class IndriAndNode(SlNode):
 
     children: list
 
+    def _combine(self, cols: list) -> Column:
+        prod = reduce(lambda a, b: a * b, cols)
+        return F.pow(prod, F.lit(1.0 / len(self.children)))
+
     def scores(self, ctx: EvalContext) -> DataFrame:
+        fast = _indri_pivot_scores(ctx, self.children, self._combine)
+        if fast is not None:
+            return fast
         cands = _cand_docids(ctx, self.children)
         return self.scores_with_default(ctx, cands)
 
     def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
         joined, cols = _indri_chain_join(ctx, self.children, cands)
-        prod = reduce(lambda a, b: a * b, [F.col(c) for c in cols])
-        k = len(self.children)
         return joined.select(
-            "docid", F.pow(prod, F.lit(1.0 / k)).alias("score")
+            "docid", self._combine([F.col(c) for c in cols]).alias("score")
         )
 
 
@@ -527,18 +595,26 @@ class WandNode(SlNode):
     weights: list
     children: list
 
+    def _combine(self, cols: list) -> Column:
+        W = _total_weight(self.weights)
+        # score starts at 1.0 and multiplies pow(s_i, w_i/W) in child order
+        prod = F.lit(1.0)
+        for c, w in zip(cols, self.weights):
+            prod = prod * F.pow(c, F.lit(w / W if W != 0 else math.nan))
+        return prod
+
     def scores(self, ctx: EvalContext) -> DataFrame:
+        fast = _indri_pivot_scores(ctx, self.children, self._combine)
+        if fast is not None:
+            return fast
         cands = _cand_docids(ctx, self.children)
         return self.scores_with_default(ctx, cands)
 
     def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
-        W = _total_weight(self.weights)
         joined, cols = _indri_chain_join(ctx, self.children, cands)
-        # score starts at 1.0 and multiplies pow(s_i, w_i/W) in child order
-        prod = F.lit(1.0)
-        for c, w in zip(cols, self.weights):
-            prod = prod * F.pow(F.col(c), F.lit(w / W if W != 0 else math.nan))
-        return joined.select("docid", prod.alias("score"))
+        return joined.select(
+            "docid", self._combine([F.col(c) for c in cols]).alias("score")
+        )
 
 
 @dataclass
@@ -549,14 +625,22 @@ class WsumNode(SlNode):
     weights: list
     children: list
 
+    def _combine(self, cols: list) -> Column:
+        W = _total_weight(self.weights)
+        acc = F.lit(0.0)
+        for c, w in zip(cols, self.weights):
+            acc = acc + c * F.lit(w / W if W != 0 else math.nan)
+        return acc
+
     def scores(self, ctx: EvalContext) -> DataFrame:
+        fast = _indri_pivot_scores(ctx, self.children, self._combine)
+        if fast is not None:
+            return fast
         cands = _cand_docids(ctx, self.children)
         return self.scores_with_default(ctx, cands)
 
     def scores_with_default(self, ctx: EvalContext, cands: DataFrame) -> DataFrame:
-        W = _total_weight(self.weights)
         joined, cols = _indri_chain_join(ctx, self.children, cands)
-        acc = F.lit(0.0)
-        for c, w in zip(cols, self.weights):
-            acc = acc + F.col(c) * F.lit(w / W if W != 0 else math.nan)
-        return joined.select("docid", acc.alias("score"))
+        return joined.select(
+            "docid", self._combine([F.col(c) for c in cols]).alias("score")
+        )

@@ -69,6 +69,23 @@ class IndexTables:
             (F.col("term") == term) & (F.col("field") == fld)
         )
 
+    def postings_for(
+        self, pairs, with_positions: bool = False, block_filter=None
+    ) -> DataFrame:
+        """Multi-(term, field) scan — the shape the flat fast paths consume:
+        term, field, docid, tf, doclen, df, ctf [, positions]. PackedIndex
+        overrides this with a bucket-pruned varint-block decode."""
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [(F.col("term") == t) & (F.col("field") == f) for t, f in pairs],
+        )
+        cols = ["term", "field", "docid", "tf", "doclen", "df", "ctf"]
+        if with_positions:
+            cols.append("positions")
+        return self.postings.where(cond).select(*cols)
+
 
 def tokenize_fields(
     docs: DataFrame, fields: dict[str, str], tokenizer: Tokenizer

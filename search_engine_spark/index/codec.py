@@ -1,0 +1,179 @@
+"""Delta-gap + varint posting-block codec (numpy-vectorized).
+
+The on-disk inverted-index format (index format v1, SURVEY.md §4.2): per
+(term, field) the docid-ascending posting list is cut into blocks of
+``BLOCK_SIZE`` postings; each block stores
+
+- ``docids``    delta-gapped (first absolute, then gaps) varint bytes
+- ``tfs``       varint bytes
+- ``doclens``   varint bytes (needed by BM25/Indri scoring without a join)
+- ``max_tf``, ``min_doclen``, ``min_docid``, ``max_docid`` — the block-max
+  metadata driving query-time block pruning (block-max WAND/MaxScore):
+  BM25's tf-weight is increasing in tf and decreasing in doclen, so
+  ``ub_tfw = max_tf / (max_tf + k1((1-b) + b·min_doclen/avgdl))`` bounds every
+  posting in the block for ANY (k1, b) at query time.
+
+Positions are stored as a single varint stream of within-doc delta gaps with a
+per-posting ``tf``-length prefix implicit from ``tfs`` (positions of one doc
+are delta-gapped against each other, first absolute).
+
+Varint = LEB128 (7 data bits/byte, high bit = continue) — the classic
+Lucene/protobuf encoding, re-implemented here from the public definition.
+Encode/decode are numpy-vectorized (no per-int Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 1024
+
+
+# --------------------------------------------------------------------------
+# varint (LEB128) — vectorized
+# --------------------------------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 byte stream, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.size and int(v.min()) < 0:  # pragma: no cover - guarded upstream
+        raise ValueError("varint_encode requires non-negative values")
+    # how many 7-bit groups each value needs (at least 1) — exact integer
+    # thresholds, no float log2 (which misfires at exact powers of two)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # byte offsets of each value's first byte
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    max_b = int(nbytes.max())
+    rem = v.copy()
+    for b in range(max_b):
+        mask = nbytes > b  # values still emitting bytes
+        idx = starts[mask] + b
+        chunk = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > (b + 1)).astype(np.uint8) << 7
+        out[idx] = chunk | cont
+        rem[mask] = rem[mask] >> np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """LEB128 byte stream -> uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    n = ends.size
+    if count is not None and n != count:
+        raise ValueError(f"expected {count} varints, found {n}")
+    data = (b & 0x7F).astype(np.uint64)
+    # positional shift of each byte within its value
+    pos_in_val = np.arange(b.size, dtype=np.int64)
+    pos_in_val -= np.repeat(starts, ends - starts + 1)
+    shifted = data << (np.uint64(7) * pos_in_val.astype(np.uint64))
+    # sum per value via reduceat
+    return np.add.reduceat(shifted, starts)
+
+
+# --------------------------------------------------------------------------
+# delta-gap helpers
+# --------------------------------------------------------------------------
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """ascending int array -> [first, gap, gap, ...]."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    if v.size == 0:
+        return v.astype(np.uint64)
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    if v.size > 1 and int(out[1:].min()) < 0:
+        raise ValueError("delta_encode requires ascending input")
+    return out.astype(np.uint64)
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64)).astype(np.int64)
+
+
+def positions_encode(pos_lists: list) -> bytes:
+    """list of ascending position arrays -> one varint stream (per doc:
+    first absolute, then gaps). Lengths are implied by the block's tfs."""
+    if not pos_lists:
+        return b""
+    chunks = [delta_encode(np.asarray(p, dtype=np.int64)) for p in pos_lists]
+    return varint_encode(np.concatenate(chunks) if chunks else np.zeros(0, np.uint64))
+
+
+def positions_decode(buf: bytes, tfs: np.ndarray) -> list:
+    flat = varint_decode(buf)
+    out = []
+    off = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        out.append(delta_decode(flat[off : off + tf]))
+        off += tf
+    if off != flat.size:
+        raise ValueError("positions stream length mismatch")
+    return out
+
+
+# --------------------------------------------------------------------------
+# block encode/decode
+# --------------------------------------------------------------------------
+
+
+def encode_blocks(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    pos_lists: list | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """One (term, field) posting list -> list of block dicts:
+    {block_id, n, min_docid, max_docid, max_tf, min_doclen,
+     docids:bytes, tfs:bytes, doclens:bytes, positions:bytes}."""
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doclens = np.asarray(doclens, dtype=np.int64)
+    if not (docids.size == tfs.size == doclens.size):
+        raise ValueError("parallel arrays required")
+    if docids.size > 1 and not np.all(np.diff(docids) > 0):
+        raise ValueError("docids must be strictly ascending")
+    blocks = []
+    for bi, off in enumerate(range(0, docids.size, block_size)):
+        sl = slice(off, off + block_size)
+        d, t, L = docids[sl], tfs[sl], doclens[sl]
+        blocks.append(
+            {
+                "block_id": bi,
+                "n": int(d.size),
+                "min_docid": int(d[0]),
+                "max_docid": int(d[-1]),
+                "max_tf": int(t.max()),
+                "min_doclen": int(L.min()),
+                "docids": varint_encode(delta_encode(d)),
+                "tfs": varint_encode(t.astype(np.uint64)),
+                "doclens": varint_encode(L.astype(np.uint64)),
+                "positions": positions_encode(pos_lists[sl] if pos_lists is not None else []),
+            }
+        )
+    return blocks
+
+
+def decode_block(block: dict, with_positions: bool = False):
+    """block dict -> (docids, tfs, doclens[, pos_lists])."""
+    n = block["n"]
+    docids = delta_decode(varint_decode(block["docids"], n))
+    tfs = varint_decode(block["tfs"], n).astype(np.int64)
+    doclens = varint_decode(block["doclens"], n).astype(np.int64)
+    if with_positions:
+        return docids, tfs, doclens, positions_decode(block["positions"], tfs)
+    return docids, tfs, doclens
