@@ -1,0 +1,65 @@
+"""Block-max pruned BM25 top-k must be identical to the exact plan
+(rank, docid, ext id, score — bitwise), while actually skipping blocks."""
+
+import pytest
+
+from search_engine_spark.config import BM25, ModelConfig
+from search_engine_spark.engine.pruning import PruneStats, bm25_topk_pruned
+from search_engine_spark.engine.runner import Engine
+from search_engine_spark.index.persist import BuildConfig, PackedIndex, build_persistent_index
+from search_engine_spark.tokenize import CODE_TOKENIZER
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, code_docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pruneidx") / "v1")
+    cfg = BuildConfig(
+        out_dir=out, n_buckets=4, block_size=8, salt_threshold=40, n_salts=4,
+        fields={"body": "content"}, tokenizer=CODE_TOKENIZER,
+    )
+    build_persistent_index(spark, code_docs, cfg)
+    return PackedIndex(spark, out)
+
+
+QUERIES = [
+    ["lock", "free", "queue"],
+    ["parse_init", "token_next"],
+    ["rare_alpha", "lock"],          # df=1 term dominates idf
+    ["open", "file", "handle", "ring", "buffer"],
+    ["self", "lock"],                # heavy salted term + selective term
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["+".join(q) for q in QUERIES])
+def test_pruned_identical_to_exact(spark, pidx, terms, code_index):
+    k = 20
+    stats = PruneStats()
+    pruned = [
+        (r["rank"], r["docid"], r["ext_docid"], r["score"])
+        for r in bm25_topk_pruned(pidx, terms, k=k, stats=stats).collect()
+    ]
+    eng = Engine(code_index, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
+    exact = [
+        (r["rank"], r["docid"], r["ext_docid"], r["score"])
+        for r in eng.search(" ".join(terms), k).collect()
+    ]
+    assert pruned == exact
+    assert stats.n_blocks_total > 0
+
+
+def test_pruning_skips_blocks(spark, pidx):
+    """A selective query over a corpus with a dominant rare term must not
+    scan every block. (With an idf-clamped heavy term and k past the nonzero
+    scores, θ=0 forces a full scan for exact tie semantics — so we use a
+    query whose θ stays positive.)"""
+    stats = PruneStats()
+    bm25_topk_pruned(pidx, ["rare_alpha", "lock"], k=1, stats=stats).collect()
+    assert stats.n_blocks_scanned < stats.n_blocks_total, (
+        f"scanned {stats.n_blocks_scanned}/{stats.n_blocks_total}"
+    )
+
+
+def test_absent_term_query(spark, pidx):
+    from search_engine_spark.corpus import ABSENT_TERM
+
+    assert bm25_topk_pruned(pidx, [ABSENT_TERM], k=5).collect() == []
