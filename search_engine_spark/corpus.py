@@ -115,47 +115,52 @@ def _doc_len(rng: random.Random) -> int:
 
 
 def generate_code_rows(n_files: int, seed: int = 42) -> list[tuple]:
-    """Deterministic rows (repo, path, commit, lang, content)."""
-    rng = random.Random(seed)
-    rows = []
-    for i in range(n_files):
-        r = rng.randrange(max(1, n_files // 40))
-        repo = f"org{r // 25}/repo{r}"
-        lang = rng.choices(LANGS, weights=_LANG_W)[0]
-        d1, d2 = _zipf_term(rng), _zipf_term(rng)
-        path = f"src/{d1}/{d2}/file_{i}.{_EXT[lang]}"
-        commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:40]
+    """Deterministic rows (repo, path, commit, lang, content) — row i depends
+    only on (seed, i, n_files), so generation distributes (see
+    distributed_corpus_df) and the driver/executor outputs are identical."""
+    return [_gen_row(i, n_files, seed) for i in range(n_files)]
 
-        kws = KEYWORDS_BY_LANG[lang]
-        n_tok = _doc_len(rng)
-        toks: list[str] = []
-        while len(toks) < n_tok:
-            u = rng.random()
-            if u < 0.30:  # heavy keyword skew (>60% of docs get several)
-                toks.append(rng.choice(kws))
-            elif u < 0.33 and len(toks) + 3 <= n_tok + 3:
-                toks.extend(rng.choice(PHRASES))  # planted adjacent phrase
-            elif u < 0.35:
-                # near-phrase with a gap token (exercises #NEAR distances)
-                ph = rng.choice(PHRASES)
-                toks.extend([ph[0], _zipf_term(rng), ph[1], ph[2]])
-            else:
-                toks.append(_zipf_term(rng))
-        # df=1 terms: planted in exactly one fixed doc each
-        for j, rare in enumerate(RARE_TERMS):
-            if i == (7 * (j + 1)) % max(1, n_files):
-                toks.append(rare)
-        # code-ish punctuation the code tokenizer must strip
-        parts = []
-        for j, t in enumerate(toks):
-            if j % 13 == 12:
-                parts.append(f"{t}(x):\n")
-            elif j % 7 == 6:
-                parts.append(f"{t};")
-            else:
-                parts.append(t)
-        rows.append((repo, path, commit, lang, " ".join(parts)))
-    return rows
+
+def _gen_row(i: int, n_files: int, seed: int) -> tuple:
+    # string seeds hash deterministically in random.Random (sha512-based),
+    # independent of PYTHONHASHSEED — same row on driver and any executor
+    rng = random.Random(f"{seed}:{i}")
+    r = rng.randrange(max(1, n_files // 40))
+    repo = f"org{r // 25}/repo{r}"
+    lang = rng.choices(LANGS, weights=_LANG_W)[0]
+    d1, d2 = _zipf_term(rng), _zipf_term(rng)
+    path = f"src/{d1}/{d2}/file_{i}.{_EXT[lang]}"
+    commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:40]
+
+    kws = KEYWORDS_BY_LANG[lang]
+    n_tok = _doc_len(rng)
+    toks: list[str] = []
+    while len(toks) < n_tok:
+        u = rng.random()
+        if u < 0.30:  # heavy keyword skew (>60% of docs get several)
+            toks.append(rng.choice(kws))
+        elif u < 0.33 and len(toks) + 3 <= n_tok + 3:
+            toks.extend(rng.choice(PHRASES))  # planted adjacent phrase
+        elif u < 0.35:
+            # near-phrase with a gap token (exercises #NEAR distances)
+            ph = rng.choice(PHRASES)
+            toks.extend([ph[0], _zipf_term(rng), ph[1], ph[2]])
+        else:
+            toks.append(_zipf_term(rng))
+    # df=1 terms: planted in exactly one fixed doc each
+    for j, rare in enumerate(RARE_TERMS):
+        if i == (7 * (j + 1)) % max(1, n_files):
+            toks.append(rare)
+    # code-ish punctuation the code tokenizer must strip
+    parts = []
+    for j, t in enumerate(toks):
+        if j % 13 == 12:
+            parts.append(f"{t}(x):\n")
+        elif j % 7 == 6:
+            parts.append(f"{t};")
+        else:
+            parts.append(t)
+    return (repo, path, commit, lang, " ".join(parts))
 
 
 def code_corpus_df(
@@ -169,21 +174,72 @@ def code_corpus_df(
     return df
 
 
-def with_docids(docs: DataFrame) -> DataFrame:
+def distributed_corpus_df(
+    spark: SparkSession, n_files: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Same rows as code_corpus_df, but generated ON THE EXECUTORS:
+    spark.range over file indexes -> mapInPandas calling the per-row
+    deterministic generator. This is how a large-scale synthetic corpus is
+    materialized without a driver bottleneck (row i depends only on
+    (seed, i, n_files), so partitioning doesn't change the data)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_gen_row(int(i), n_files, seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    rng_df = spark.range(n_files)
+    if partitions:
+        rng_df = rng_df.repartition(partitions)
+    return rng_df.mapInPandas(gen, CODE_DOC_SCHEMA)
+
+
+def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     """Assign the dense internal docid + the external id string.
 
-    ext id = ``repo:path@commit`` (SURVEY.md §1.1); docid = row_number over
-    the natural key — assigned ONCE at ingest, deterministic for a given
-    table. At 100 TB the window sort shuffles only the (tiny) key columns,
-    once per corpus version, amortised over every query.
+    ext id = ``repo:path@commit`` (SURVEY.md §1.1); docid = dense row number
+    over the natural key — assigned ONCE at ingest, deterministic for a
+    given table.
+
+    Scalable assignment (no single-partition global window): range-partition
+    + sort by the key, local row_number per partition, then add the
+    per-partition offsets (a tiny driver-side cumulative sum). Identical ids
+    to a global row_number, but every stage stays parallel — the global
+    window version collapses the whole corpus into one task, which is what
+    kills 100 TB runs (and scaling efficiency even at 20k files).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy("repo", "path", "commit")
-    return docs.select(
-        F.row_number().over(w).cast("long").alias("docid"),
-        F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
-                    F.lit("@"), F.col("commit")).alias("ext_docid"),
-        "repo", "path", "commit", "lang", "content",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    keys = ["repo", "path", "commit"]
+    sc = docs.sparkSession.sparkContext
+    partitions = partitions or max(sc.defaultParallelism * 2, 8)
+
+    part = docs.repartitionByRange(partitions, *keys).sortWithinPartitions(
+        *keys
+    ).withColumn("_pid", F.spark_partition_id())
+    part = part.persist()
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = docs.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .select(
+            (F.row_number().over(w) + F.col("_off")).cast("long").alias("docid"),
+            F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
+                        F.lit("@"), F.col("commit")).alias("ext_docid"),
+            "repo", "path", "commit", "lang", "content",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
     )

@@ -444,6 +444,27 @@ def _wsum_sql(spec, k: int) -> str:
 _register("indri_wsum_topk", _q_indri_wsum_topk, _wsum_sql(_WSUM_SPEC, 100))
 
 
+# -- PRF expansion (two-round; consume-side SQL twin impractical -> rows-only,
+#    exact parity vs the independent python oracle in tests/test_expand.py) ---
+
+
+def _q_prf_topk(spark, sf_dir):
+    from search_engine_spark.engine.expand import FbParams, search_expanded
+
+    eng = _engine(spark, sf_dir, INDRI)
+    res, _learned, _exp = search_expanded(
+        eng, "spark query table", FbParams(fb_docs=5, fb_terms=8, fb_mu=0.0,
+                                           fb_orig_weight=0.5), k=50
+    )
+    return res.select(
+        "rank", F.col("docid").cast("long").alias("docid"),
+        F.col("score").cast("float").cast("double").alias("score"),
+    )
+
+
+_register("prf_expanded_topk", _q_prf_topk, None)
+
+
 # -- stats tables -------------------------------------------------------------
 
 
@@ -499,8 +520,12 @@ FROM dl""",
 
 
 def all_queries() -> dict:
-    return dict(_QUERIES)
+    from search_engine_spark import driver_queries_pipeline as dqp
+
+    return dict(_QUERIES, **dqp.QUERIES)
 
 
 def all_oracles() -> dict:
-    return dict(_ORACLES)
+    from search_engine_spark import driver_queries_pipeline as dqp
+
+    return dict(_ORACLES, **dqp.ORACLES)

@@ -1,0 +1,133 @@
+"""Pseudo-relevance-feedback query expansion (SURVEY.md §2.10).
+
+Reference: ``expansion()`` hw5/QryEval/QryEval.java:765-951 (hw4 original at
+hw4/QryEval/QryEval.java:454). Semantics replicated exactly:
+
+- top ``fbDocs`` docs of the initial ranking (desc score, asc ext id);
+- candidate vocabulary = union of their body-field terms minus terms
+  containing ``.`` or ``,`` (QryEval.java:806-809, 863-866);
+- Indri RM term weight with the reference's exact decomposition
+  (QryEval.java:869-896): for ``ptc = ctf / C_len``, ``idf = ln(1/ptc)``,
+
+      score(t) = Σ_{d ∋ t}  tf_{t,d}/(doclen_d + fbMu) · p(I|d) · idf
+               + Σ_{all d}  fbMu·ptc/(doclen_d + fbMu) · p(I|d) · idf
+
+  (the "contains" part has NO smoothing in its numerator — the smoothing
+  mass arrives via the default part, which sums over ALL fbDocs and is
+  added once per term: the net effect equals canonical
+  p(t|d) = (tf + fbMu·ptc)/(doclen + fbMu) over every fbDoc);
+- learned query = ``#WAND (`` + top ``fbTerms`` terms in ASCENDING score
+  order (the reference appends from list index fbTerms-1 down to 0,
+  QryEval.java:917-926) with ``%.4f`` weights + ``)``;
+- final query ``#WAND ( w #AND( orig ) 1-w learned )`` re-wrapped with the
+  model default operator and re-evaluated (QryEval.java:929-942).
+
+Tie-break NOTE: the reference sorts candidate terms by score via a HashMap
+entry list — ties land in hash order (unspecified). We break score ties by
+ascending term, deterministically; tests use tie-free fixtures.
+
+Spark shape: candidates = top-docs (tiny, broadcast) ⋈ doc_terms →
+one groupBy(term) aggregation; everything else is driver-side arithmetic on
+fbTerms-sized data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.engine.runner import Engine
+
+
+@dataclass(frozen=True)
+class FbParams:
+    """Parameter-file surface (QryEval.java:570-612 validation)."""
+
+    fb_docs: int = 10
+    fb_terms: int = 10
+    fb_mu: float = 0.0
+    fb_orig_weight: float = 0.5
+
+    def __post_init__(self) -> None:
+        if self.fb_docs <= 0 or self.fb_terms <= 0:
+            raise ValueError("fbDocs/fbTerms must be > 0")
+        if self.fb_mu < 0:
+            raise ValueError("fbMu must be >= 0")
+        if not (0.0 <= self.fb_orig_weight <= 1.0):
+            raise ValueError("fbOrigWeight must be in [0,1]")
+
+
+def learned_query(eng: Engine, query: str, p: FbParams, fld: str = "body") -> str | None:
+    """Initial retrieval -> RM term weights -> ``#WAND (w t ...)`` string.
+    Returns None when the original query matches nothing (the reference
+    then echoes the original query, QryEval.java:779-784)."""
+    top = eng.search(query, p.fb_docs).collect()
+    if not top:
+        return None
+    c_len = float(eng.index.corpus.sum_doclen(fld))
+
+    doc_rows = {r["docid"]: r["score"] for r in top}
+    doclens = {
+        r["docid"]: r["doclen"]
+        for r in eng.index.doc_stats.where(
+            (F.col("field") == fld) & F.col("docid").isin(list(doc_rows))
+        ).collect()
+    }
+    # Σ_k p(I|k)/(doclen_k + fbMu) — the cross-term constant of the default part
+    s_default = sum(
+        doc_rows[d] / (doclens.get(d, 0) + p.fb_mu) for d in doc_rows
+    )
+
+    # contains part: top-docs ⋈ doc_terms -> one aggregation by term
+    wmap = {d: doc_rows[d] / (doclens.get(d, 0) + p.fb_mu) for d in doc_rows}
+    w_df = eng.index.doc_terms.sparkSession.createDataFrame(
+        [(d, w) for d, w in wmap.items()], "docid long, _w double"
+    )
+    cand = (
+        eng.index.doc_terms.where(
+            (F.col("field") == fld)
+            & F.col("docid").isin(list(doc_rows))
+            & ~F.col("term").rlike("[.,]")
+        )
+        .join(F.broadcast(w_df), "docid")
+        .groupBy("term")
+        .agg(F.sum(F.col("tf") * F.col("_w")).alias("_contains"))
+    )
+    rows = cand.collect()
+    pairs = {(r["term"], fld) for r in rows}
+    eng.ctx.prefetch_terms(pairs)
+
+    import math
+
+    scored = []
+    for r in rows:
+        t = r["term"]
+        _, ctf = eng.ctx.term_stat(t, fld)
+        ptc = ctf / c_len
+        idf = math.log(1.0 / ptc)
+        score = r["_contains"] * idf + (p.fb_mu * ptc) * s_default * idf
+        scored.append((t, score))
+    scored.sort(key=lambda ts: (-ts[1], ts[0]))
+    chosen = scored[: p.fb_terms]
+    # ascending-score emission order (QryEval.java:920 loop runs fbTerms-1..0)
+    parts = [f"{s:.4f} {t}" for t, s in reversed(chosen)]
+    return "#WAND (" + " ".join(parts) + " )"
+
+
+def expanded_query(orig: str, learned: str, p: FbParams) -> str:
+    """QryEval.java:929-934 — weights stringified like Java doubles."""
+    w = p.fb_orig_weight
+    return f"#WAND ( {w} #AND( {orig} ) {1 - w} {learned})"
+
+
+def search_expanded(
+    eng: Engine, query: str, p: FbParams, k: int = 100, fld: str = "body"
+):
+    """Two-round PRF retrieval: returns (result_df_or_None, learned, expanded).
+    The model default wrap happens inside eng.search's parse."""
+    learned = learned_query(eng, query, p, fld)
+    if learned is None:
+        return None, None, None
+    exp = expanded_query(query, learned, p)
+    return eng.search(exp, k), learned, exp

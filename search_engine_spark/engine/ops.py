@@ -69,11 +69,16 @@ class EvalContext:
         missing = [p for p in pairs if p not in self._stats]
         if not missing:
             return
+        # group by field + one IN list per field: a flat expression even for
+        # hundreds of terms (a reduce-OR chain overflows the JVM stack)
+        by_field: dict = {}
+        for t, f in missing:
+            by_field.setdefault(f, []).append(t)
         cond = reduce(
             lambda a, b: a | b,
             [
-                (F.col("term") == t) & (F.col("field") == f)
-                for t, f in missing
+                (F.col("field") == f) & F.col("term").isin(ts)
+                for f, ts in by_field.items()
             ],
         )
         rows = self.index.term_stats.where(cond).collect()

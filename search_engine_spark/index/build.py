@@ -100,16 +100,96 @@ def tokenize_fields(
     for fld, src in fields.items():
         toks = tokenizer.tokens_col(F.col(src))
         per_field.append(
-            docs.select(
+            # two selects: the token ARRAY is materialized once as a column,
+            # then size+explode reference that attribute. Referencing the
+            # raw expression twice in one select invites per-output-row
+            # recomputation of the split inside the generator (quadratic in
+            # doc length — observed as a 20x stall at 2k-token docs).
+            docs.select("docid", toks.alias("_toks")).select(
                 "docid",
                 F.lit(fld).alias("field"),
-                F.posexplode(toks).alias("pos", "term"),
+                # doclen = token count BEFORE the explode: rides every token
+                # row for free — no later shuffle/window/join to recover it
+                F.size("_toks").cast("long").alias("doclen"),
+                F.posexplode("_toks").alias("pos", "term"),
             )
         )
     out = per_field[0]
     for df in per_field[1:]:
         out = out.unionByName(df)
     return out
+
+
+DOC_TERMS_SCHEMA = "docid long, field string, term string, tf int, positions array<int>, doclen long"
+
+
+def forward_index_pandas(
+    docs: DataFrame, fields: dict[str, str], tokenizer: Tokenizer
+) -> DataFrame:
+    """documents -> doc_terms (docid, field, term, tf, positions, doclen)
+    in ONE Arrow-batched mapInPandas pass — tokenize AND the per-(doc, term)
+    grouping happen inside the partition, so there is NO explode and NO
+    groupBy shuffle at all (each doc's rows are derived locally).
+
+    Why a pandas UDF on the hot path: measured on this corpus shape, the JVM
+    `split(lower(content), regex)` costs ~7x more than Python's C regex via
+    Arrow (22.8s vs 3.3s for 30k docs / 11.8M tokens at local[8]), and the
+    posexplode of 11.8M rows plus its downstream hash-shuffle dominates the
+    whole build. The Python twin `tokenizer.tokenize` is bit-identical to
+    the JVM expression (tests/test_tokenize.py)."""
+    import pandas as pd
+
+    flds = list(fields.items())
+    tok = tokenizer
+
+    CHUNK = 256  # docs per yielded frame: bounds worker-resident output rows
+
+    def _flush(out):
+        return pd.DataFrame(
+            {
+                "docid": pd.Series(out["docid"], dtype="int64"),
+                "field": pd.Series(out["field"], dtype="object"),
+                "term": pd.Series(out["term"], dtype="object"),
+                "tf": pd.Series(out["tf"], dtype="int32"),
+                "positions": pd.Series(out["positions"], dtype="object"),
+                "doclen": pd.Series(out["doclen"], dtype="int64"),
+            }
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "docid": [], "field": [], "term": [],
+                "tf": [], "positions": [], "doclen": [],
+            }
+            n_docs = 0
+            for row in pdf.itertuples(index=False):
+                docid = row.docid
+                for fld, src in flds:
+                    toks = tok.tokenize(getattr(row, src))
+                    if not toks:
+                        continue
+                    groups: dict[str, list[int]] = {}
+                    for pos, t in enumerate(toks):
+                        groups.setdefault(t, []).append(pos)
+                    n = len(toks)
+                    for t, positions in groups.items():
+                        out["docid"].append(docid)
+                        out["field"].append(fld)
+                        out["term"].append(t)
+                        out["tf"].append(len(positions))
+                        out["positions"].append(positions)
+                        out["doclen"].append(n)
+                n_docs += 1
+                if n_docs >= CHUNK:
+                    yield _flush(out)
+                    out = {k: [] for k in out}
+                    n_docs = 0
+            if out["docid"]:
+                yield _flush(out)
+
+    cols = ["docid"] + sorted({src for _, src in flds})
+    return docs.select(*cols).mapInPandas(gen, DOC_TERMS_SCHEMA)
 
 
 def build_index(
@@ -132,21 +212,14 @@ def build_index(
 
     doc_ids = docs.select("docid", F.col(ext_col).alias("ext_docid"))
 
-    tokens = tokenize_fields(docs, fields, tokenizer)
-
-    # Forward index (TermVector analog): one aggregation, positions kept sorted.
-    doc_terms = tokens.groupBy("docid", "field", "term").agg(
-        F.count("*").cast("int").alias("tf"),
-        F.array_sort(F.collect_list("pos")).alias("positions"),
-    )
+    # Forward index (TermVector analog): computed per-doc inside one Arrow
+    # pass — no explode, no shuffle (see forward_index_pandas).
+    doc_terms = forward_index_pandas(docs, fields, tokenizer)
     if cache:
         doc_terms = doc_terms.cache()
 
-    # DocLengthStore analog. Derived from doc_terms (sum tf) rather than the
-    # raw token stream so a cached doc_terms serves both.
-    doc_stats = doc_terms.groupBy("docid", "field").agg(
-        F.sum("tf").cast("long").alias("doclen")
-    )
+    # DocLengthStore analog — a projection of the cached forward index.
+    doc_stats = doc_terms.select("docid", "field", "doclen").distinct()
     if cache:
         doc_stats = doc_stats.cache()
 
@@ -160,11 +233,11 @@ def build_index(
     # Postings with df/ctf AND doclen denormalized per row: a term scan then
     # needs NO join at query time (BM25 = scan -> codegen'd expression -> agg).
     # df/ctf come from a window over the (term,field) group — same shuffle key
-    # as the aggregation; doclen is a one-time (docid,field) join at build.
+    # as the aggregation; doclen already rides on the doc_terms row.
     from pyspark.sql import Window as W
 
     w = W.partitionBy("term", "field")
-    postings = doc_terms.join(doc_stats, ["docid", "field"]).select(
+    postings = doc_terms.select(
         "term",
         "field",
         "docid",

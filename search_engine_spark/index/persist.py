@@ -165,12 +165,17 @@ def build_persistent_index(
 
     # ---- stage: lineage fingerprint -------------------------------------
     if not man.stage_done("lineage"):
+        t_stage = time.time()
         n_docs = docs.count()
-        fp = (
-            docs.select(F.sha2(F.concat_ws("\x01", "ext_docid"), 256).alias("h"))
-            .agg(F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256))
-            .first()[0]
-        )
+        # order-independent xor of per-row hashes: fully partial-aggregated,
+        # no single-task global sort (which was a serial tail at scale)
+        fp_row = docs.agg(
+            F.bit_xor(F.xxhash64("ext_docid")).alias("x"),
+            F.bit_xor(F.xxhash64(F.sha2(F.col("content"), 256))).alias("c")
+            if "content" in docs.columns
+            else F.lit(0).alias("c"),
+        ).first()
+        fp = f"{fp_row['x']:x}:{fp_row['c']:x}"
         man.set_lineage(
             n_docs=n_docs,
             input_fingerprint=fp,
@@ -181,7 +186,10 @@ def build_persistent_index(
             fields=sorted(cfg.fields),
             tokenizer=cfg.tokenizer.name,
         )
-        man.mark_stage("lineage", docs_seen=n_docs)
+        man.mark_stage(
+            "lineage", docs_seen=n_docs,
+            lineage_sec=round(time.time() - t_stage, 2),
+        )
 
     # ---- stage: doc_ids -------------------------------------------------
     if not man.stage_done("doc_ids"):
@@ -192,32 +200,37 @@ def build_persistent_index(
 
     # ---- stage: forward index (doc_terms, bucketed) ---------------------
     if not man.stage_done("doc_terms"):
-        from search_engine_spark.index.build import tokenize_fields
+        from search_engine_spark.index.build import forward_index_pandas
 
-        tokens = tokenize_fields(docs, cfg.fields, cfg.tokenizer)
-        doc_terms = (
-            tokens.groupBy("docid", "field", "term")
-            .agg(
-                F.count("*").cast("int").alias("tf"),
-                F.array_sort(F.collect_list("pos")).alias("positions"),
-            )
-            .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
-        )
+        t_stage = time.time()
+        # one Arrow pass builds the grouped forward index per doc (no
+        # explode, no groupBy shuffle — see forward_index_pandas); the only
+        # shuffle is the bucket repartition feeding the partitioned write
+        doc_terms = forward_index_pandas(
+            docs, cfg.fields, cfg.tokenizer
+        ).withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
+        # NO repartition: every map task writes its rows into per-bucket
+        # files directly (tasks x buckets files). A pre-write shuffle by
+        # bucket would cap writer parallelism at n_buckets and stall the
+        # pipeline behind one exchange; file count is compacted by the
+        # per-bucket packed build anyway.
         (
-            doc_terms.repartition("bucket")
-            .write.mode("overwrite")
+            doc_terms.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{out}/doc_terms")
         )
-        man.mark_stage("doc_terms", docs_tokenized=docs.count())
+        man.mark_stage(
+            "doc_terms",
+            docs_tokenized=docs.count(),
+            doc_terms_sec=round(time.time() - t_stage, 2),
+        )
 
     doc_terms = spark.read.parquet(f"{out}/doc_terms")
 
     # ---- stage: doc_stats + term_stats + corpus_stats -------------------
     if not man.stage_done("stats"):
-        doc_stats = doc_terms.groupBy("docid", "field").agg(
-            F.sum("tf").cast("long").alias("doclen")
-        )
+        t_stage = time.time()
+        doc_stats = doc_terms.select("docid", "field", "doclen").distinct()
         doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
         term_stats = doc_terms.groupBy("term", "field").agg(
             F.count("*").cast("long").alias("df"),
@@ -245,7 +258,10 @@ def build_persistent_index(
         stats = {"n_docs": man.data["lineage"]["n_docs"], "by_field": by_field}
         with open(f"{out}/corpus_stats.json", "w") as f:
             json.dump(stats, f, indent=1)
-        man.mark_stage("stats", n_terms=term_stats.count())
+        man.mark_stage(
+            "stats", n_terms=term_stats.count(),
+            stats_sec=round(time.time() - t_stage, 2),
+        )
 
     # max docid for range salting (from lineage — docids are dense 1..N)
     max_docid = int(man.data["lineage"]["n_docs"])
@@ -254,7 +270,6 @@ def build_persistent_index(
     block_size = cfg.block_size
 
     # ---- per-bucket packed postings build -------------------------------
-    doclen_by = spark.read.parquet(f"{out}/doc_stats")
     tstats = spark.read.parquet(f"{out}/term_stats")
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -286,25 +301,27 @@ def build_persistent_index(
             columns=[f.name for f in PACKED_SCHEMA.fields],
         )
 
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    man_lock = threading.Lock()
     blocks_written = 0
-    for b in range(cfg.n_buckets):
-        if man.bucket_done(b):
-            continue
+    failed_at: list[int] = []
+
+    def build_bucket(b: int) -> int:
+        """One bucket: partition-pruned doc_terms read (doclen already on
+        the row — no join), broadcast heavy-term flags, salted
+        applyInPandas encode, idempotent overwrite, manifest commit."""
         part = spark.read.parquet(f"{out}/doc_terms/bucket={b}")
-        # df per term decides salting; ctf/df ride along for lineage counters
         heavy = tstats.where(
             (F.col("bucket") == b) & (F.col("df") > threshold)
         ).select("term", "field", F.lit(True).alias("_heavy"))
-        joined = (
-            part.join(doclen_by, ["docid", "field"])
-            .join(F.broadcast(heavy), ["term", "field"], "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("_heavy").isNotNull(),
-                    (F.col("docid") * n_salts / (max_docid + 1)).cast("int"),
-                ).otherwise(F.lit(0)),
-            )
+        joined = part.join(F.broadcast(heavy), ["term", "field"], "left").withColumn(
+            "salt",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                (F.col("docid") * n_salts / (max_docid + 1)).cast("int"),
+            ).otherwise(F.lit(0)),
         )
         packed = joined.select(
             "term", "field", "salt", "docid", "tf", "positions", "doclen"
@@ -312,13 +329,33 @@ def build_persistent_index(
             encode_group, PACKED_SCHEMA
         )
         packed.write.mode("overwrite").parquet(f"{out}/packed/bucket={b}")
-        nb = spark.read.parquet(f"{out}/packed/bucket={b}").count()
-        blocks_written += nb
-        man.mark_bucket(b, blocks_written=nb)
-        if fail_after_bucket is not None and b >= fail_after_bucket:
-            raise RuntimeError(f"injected failure after bucket {b}")
+        return spark.read.parquet(f"{out}/packed/bucket={b}").count()
 
-    man.mark_stage("packed", total_blocks=blocks_written)
+    t_buckets = time.time()
+
+    # buckets build concurrently (Spark schedules the jobs side by side,
+    # filling executor slots a single bucket's tail tasks would leave idle);
+    # each commits independently -> resume granularity is per bucket.
+    todo = [b for b in range(cfg.n_buckets) if not man.bucket_done(b)]
+    if fail_after_bucket is not None:
+        # deterministic sequential mode for the failure-injection test
+        for b in todo:
+            nb = build_bucket(b)
+            blocks_written += nb
+            man.mark_bucket(b, blocks_written=nb)
+            if b >= fail_after_bucket:
+                raise RuntimeError(f"injected failure after bucket {b}")
+    elif todo:
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            for b, nb in zip(todo, pool.map(build_bucket, todo)):
+                with man_lock:
+                    blocks_written += nb
+                    man.mark_bucket(b, blocks_written=nb)
+
+    man.mark_stage(
+        "packed", total_blocks=blocks_written,
+        buckets_sec=round(time.time() - t_buckets, 2),
+    )
     return dict(man.data["counters"], **man.data["lineage"])
 
 

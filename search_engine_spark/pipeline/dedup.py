@@ -1,0 +1,335 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All Spark-first: shingling/MinHash/SimHash are pure column expressions
+(whole-stage codegen, no Python in the row loop); the only shuffles are the
+band-bucket groupBys and the candidate-pair self-joins, which at cluster
+scale are the textbook LSH layout (bucket key = (band_id, band_hash)).
+
+Operators:
+- exact duplicate groups         sha256(normalized text) hash-groupBy
+- token shingles                 n-gram arrays (the near-dup unit)
+- MinHash signatures             k affine permutations over portable
+                                 31-bit shingle keys (hashing.py)
+- LSH banding -> candidate pairs banded signature hash, self-join per bucket
+- exact Jaccard verification     on candidate pairs only (the scale path:
+                                 verify |candidates| pairs, not O(n²))
+- SimHash64                      tf-weighted bitwise majority of token
+                                 hashes; near-dup = small Hamming distance,
+                                 candidates via 16-bit chunk banding
+- embedding cosine near-dup      see similarity.py (shared kernels)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.pipeline.hashing import (
+    MERSENNE31,
+    affine_hash_col,
+    char_poly_hash_col,
+    minhash_coeffs,
+)
+from search_engine_spark.tokenize import Tokenizer, WHITESPACE_TOKENIZER
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate groups by content hash: one row per group with >1 doc
+    (group key = sha256 of the raw text; keep-list = sorted ids; canonical =
+    min id). One hash-aggregate — the 100 TB-safe shape (shuffle key is the
+    digest, perfectly spread)."""
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        )
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("id").alias("canonical_id"),
+            F.array_sort(F.collect_list("id")).alias("member_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_keys(toks: F.Column, k: int = 3) -> F.Column:
+    """DISTINCT portable 31-bit keys of the k-token shingles of a
+    MATERIALIZED token-array column. Callers must project the tokenizer
+    output into a column first (`.select(tokens.alias("_toks"))`) —
+    referencing a raw split expression from inside the transform lambdas
+    recomputes the tokenize per element (quadratic in doc length)."""
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(n < k, F.array()).otherwise(
+        F.transform(
+            starts,
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+    # NB: must be a 1-arg lambda — F.transform inspects the callable's arity,
+    # and char_poly_hash_col's optional `base` param would be bound to the
+    # ELEMENT INDEX (pyspark's (value, index) convention for 2-arg lambdas)
+    return F.array_distinct(
+        F.transform(shingles, lambda s: char_poly_hash_col(s))
+    )
+
+
+def _with_shingles(
+    docs: DataFrame, id_col: str, text_col: str, k: int, tokenizer: Tokenizer
+) -> DataFrame:
+    """(id, shingles) with the token array materialized before shingling."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokenizer.tokens_col(F.col(text_col)).alias("_toks"),
+    ).select("id", shingle_keys(F.col("_toks"), k).alias("shingles"))
+
+
+def minhash_signature(keys: F.Column, n_hashes: int = 32, seed: int = 7) -> F.Column:
+    """MinHash: sig[i] = min over shingle keys of (a_i·key + b_i) mod M.
+    Empty shingle set -> sig of M (sentinel), matching the SQL twin."""
+    coeffs = minhash_coeffs(n_hashes, seed)
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(keys, lambda x: affine_hash_col(x, a, b))),
+                F.lit(MERSENNE31),
+            )
+            for a, b in coeffs
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 32,
+    seed: int = 7,
+    tokenizer: Tokenizer = WHITESPACE_TOKENIZER,
+) -> DataFrame:
+    return _with_shingles(docs, id_col, text_col, k, tokenizer).select(
+        "id",
+        "shingles",
+        minhash_signature(F.col("shingles"), n_hashes, seed).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket by (band, hash(band slice)), self-join
+    buckets -> DISTINCT candidate pairs (id_a < id_b).
+
+    Scale shape: the bucket groupBy is the only shuffle; per-bucket pair
+    explosion is bounded by bucket size (tune bands/rows for the target
+    similarity threshold s ≈ (1/bands)^(1/rows))."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.aggregate(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: (acc * 131 + x) % MERSENNE31,
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    sigs: DataFrame, pairs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    threshold: float = 0.5,
+    tokenizer: Tokenizer = WHITESPACE_TOKENIZER,
+) -> DataFrame:
+    """shingle -> MinHash -> LSH -> exact-verify pipeline."""
+    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes, seed, tokenizer)
+    pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    return jaccard_verify(sigs, pairs, threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for oracle-sized inputs / verification)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    tokenizer: Tokenizer = WHITESPACE_TOKENIZER,
+) -> DataFrame:
+    """ALL-pairs exact n-gram Jaccard >= threshold. O(n²) — correctness
+    baseline and oracle twin for the LSH path; at scale use
+    minhash_near_dups."""
+    sigs = _with_shingles(docs, id_col, text_col, k, tokenizer)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: Tokenizer = WHITESPACE_TOKENIZER,
+) -> DataFrame:
+    """64-bit SimHash from tf-weighted token hashes, as column expressions:
+    two independent 31-bit char-poly hashes give 62 usable bits; bit j of
+    the fingerprint = sign of Σ_tokens tf·(±1 per token's bit j).
+
+    Implementation: explode to (id, token, tf), then for each bit j
+    aggregate Σ tf·(2·bit_j −1) and take the sign — one groupBy(id) with 62
+    conditional sums (codegen'd, no UDF)."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokenizer.tokens_col(F.col(text_col))).alias("term"),
+    ).groupBy("id", "term").agg(F.count("*").cast("long").alias("tf"))
+    h1 = char_poly_hash_col(F.col("term"), 131)
+    h2 = char_poly_hash_col(F.col("term"), 137)
+    toks = toks.select(
+        "id", "tf", h1.alias("_h1"), h2.alias("_h2")
+    )
+    sums = []
+    for j in range(31):
+        bit = F.shiftright(F.col("_h1"), j).bitwiseAND(F.lit(1))
+        sums.append(
+            F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"_s{j}")
+        )
+    for j in range(31):
+        bit = F.shiftright(F.col("_h2"), j).bitwiseAND(F.lit(1))
+        sums.append(
+            F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"_s{31 + j}")
+        )
+    agged = toks.groupBy("id").agg(*sums)
+    fp = F.lit(0).cast("long")
+    for j in range(62):
+        fp = fp + F.when(F.col(f"_s{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0)
+        ) * F.lit(1 << j).cast("long")
+    return agged.select("id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    tokenizer: Tokenizer = WHITESPACE_TOKENIZER,
+) -> DataFrame:
+    """Near-dups by Hamming distance <= max_hamming: candidates share at
+    least one of four 16-bit chunks (pigeonhole: d<=3 over 4 chunks forces a
+    chunk match), verified with bit_count on the XOR."""
+    fps = simhash64(docs, id_col, text_col, tokenizer)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north_rule): the same index build at two
+parallelism levels — local[N] and local[4N] as the sandbox stand-in for N-
+and 4N-executor clusters — on the SAME synthetic input.
+
+Each level runs in a fresh subprocess (fresh JVM, no warm caches shared).
+Efficiency = (throughput@4N / throughput@N) / 4. Writes JSON to stdout and
+appends a markdown row to BENCH_SCALING.md.
+
+    python tools/bench_scaling.py --files 20000 --low 8 --high 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, threshold: int) -> dict:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "build_index.py"),
+        "--synthetic", str(files), "--out", out_dir,
+        "--cores", str(cores), "--buckets", str(buckets),
+        "--salts", str(salts), "--salt-threshold", str(threshold),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=20000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--salt-threshold", type=int, default=4000)
+    ap.add_argument("--workdir", default="/tmp/bench_scaling")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="interleaved repeats per level; best wall time wins "
+                         "(this host shows double-digit %% run-to-run noise)")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    runs: dict[str, list[dict]] = {"lo": [], "hi": []}
+    for _ in range(args.repeats):
+        runs["lo"].append(
+            run_level(args.low, args.files, f"{args.workdir}/idx_lo",
+                      args.buckets, args.salts, args.salt_threshold)
+        )
+        runs["hi"].append(
+            run_level(args.high, args.files, f"{args.workdir}/idx_hi",
+                      args.buckets, args.salts, args.salt_threshold)
+        )
+    lo = min(runs["lo"], key=lambda r: r["wall_sec"])
+    hi = min(runs["hi"], key=lambda r: r["wall_sec"])
+
+    ratio = hi["files_per_sec"] / lo["files_per_sec"]
+    eff = ratio / (args.high / args.low)
+    out = {
+        "metric": "index_build_scaling",
+        "files": args.files,
+        "low_cores": args.low,
+        "high_cores": args.high,
+        "low_files_per_sec": lo["files_per_sec"],
+        "high_files_per_sec": hi["files_per_sec"],
+        "low_wall_sec": lo["wall_sec"],
+        "high_wall_sec": hi["wall_sec"],
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+        f.write(
+            f"| {args.files} | local[{args.low}] {lo['files_per_sec']} f/s "
+            f"({lo['wall_sec']}s) | local[{args.high}] {hi['files_per_sec']} f/s "
+            f"({hi['wall_sec']}s) | {ratio:.2f}x | {eff:.3f} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
