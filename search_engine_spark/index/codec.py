@@ -113,6 +113,24 @@ def positions_encode(pos_lists: list) -> bytes:
     return varint_encode(np.concatenate(chunks) if chunks else np.zeros(0, np.uint64))
 
 
+def positions_encode_flat(flat: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Vectorized twin of positions_encode over a FLAT position array with
+    per-posting lengths: delta-gap within each run (first absolute), one
+    varint stream. Bitwise-identical output to positions_encode."""
+    flat = np.asarray(flat, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    d = flat.copy()
+    d[1:] -= flat[:-1]
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    starts = starts[lengths > 0]
+    d[starts] = flat[starts]
+    if int(d.min()) < 0:
+        raise ValueError("positions must be ascending within each run")
+    return varint_encode(d.astype(np.uint64))
+
+
 def positions_decode(buf: bytes, tfs: np.ndarray) -> list:
     flat = varint_decode(buf)
     out = []
@@ -136,6 +154,7 @@ def encode_blocks(
     doclens: np.ndarray,
     pos_lists: list | None = None,
     block_size: int = BLOCK_SIZE,
+    pos_flat: np.ndarray | None = None,
 ) -> list[dict]:
     """One (term, field) posting list -> list of block dicts:
     {block_id, n, min_docid, max_docid, max_tf, min_doclen,
@@ -147,10 +166,21 @@ def encode_blocks(
         raise ValueError("parallel arrays required")
     if docids.size > 1 and not np.all(np.diff(docids) > 0):
         raise ValueError("docids must be strictly ascending")
+    if pos_flat is not None:
+        pos_flat = np.asarray(pos_flat, dtype=np.int64)
+        pos_ends = np.cumsum(tfs)
     blocks = []
     for bi, off in enumerate(range(0, docids.size, block_size)):
         sl = slice(off, off + block_size)
         d, t, L = docids[sl], tfs[sl], doclens[sl]
+        if pos_flat is not None:
+            lo = 0 if off == 0 else int(pos_ends[off - 1])
+            hi = int(pos_ends[min(off + block_size, docids.size) - 1])
+            positions = positions_encode_flat(pos_flat[lo:hi], t)
+        else:
+            positions = positions_encode(
+                pos_lists[sl] if pos_lists is not None else []
+            )
         blocks.append(
             {
                 "block_id": bi,
@@ -162,7 +192,7 @@ def encode_blocks(
                 "docids": varint_encode(delta_encode(d)),
                 "tfs": varint_encode(t.astype(np.uint64)),
                 "doclens": varint_encode(L.astype(np.uint64)),
-                "positions": positions_encode(pos_lists[sl] if pos_lists is not None else []),
+                "positions": positions,
             }
         )
     return blocks

@@ -5,38 +5,51 @@ The production-scale pipeline (SURVEY.md §4.2, north_rule). Layout under
 
     doc_ids/            parquet  docid, ext_docid (+ natural-key columns)
     doc_stats/          parquet  docid, field, doclen
-    doc_terms/          parquet  partitioned by bucket=pmod(xxhash64(term), B)
-                                 (the forward index, feeds per-bucket builds)
+    segments/           parquet  partitioned by bucket=pmod(xxhash64(term), B)
+                                 — per-partition index SEGMENTS: one row per
+                                 (doc-chunk, field, term) holding that
+                                 chunk's postings as raw LE int bytes +
+                                 merge metadata; marker rows (bucket=-1)
+                                 carry per-chunk (docid, doclen) pairs
     term_stats/         parquet  term, field, df, ctf, bucket
     packed/             parquet  partitioned by bucket: one row per posting
                                  BLOCK — term, field, salt, block_id, n,
                                  min_docid, max_docid, max_tf, min_doclen
                                  (block-max metadata, plain columns) +
-                                 docids/tfs/doclens/positions (varint binary).
-                                 Column pruning means a metadata-only read
-                                 never touches the binary columns.
+                                 docids/tfs/doclens/positions (delta-gap +
+                                 varint binary). Column pruning means a
+                                 metadata-only read never touches the
+                                 binary columns.
     corpus_stats.json   tiny per-field aggregates (N, sum_doclen, avgdl)
     manifest.json       lineage + per-stage/per-bucket completion + counters
 
+Build = the classic two-phase segment architecture, Spark-shaped:
+
+1. **Segment pass** (mapInPandas, NO shuffle): each task tokenizes its docs
+   (Python re via Arrow — measured 7x faster than JVM regex split) and
+   emits per-chunk packed posting segments; the JVM<->Python boundary
+   carries ~index-sized binary data instead of one row per (doc, term).
+   Map-side partitionBy(bucket) write.
+2. **Merge pass** (one shuffle by (term, field, salt)): segments decode with
+   `np.frombuffer`, concatenate/sort (vectorized run gather), re-cut into
+   block_size varint blocks with block-max metadata.
+
 Design points for 100 TB / 1000 executors:
 
-- **One tokenize pass.** ``doc_terms`` is written once, hash-partitioned by
-  term bucket; every per-bucket postings build reads exactly one partition
-  (partition pruning on ``bucket``).
 - **Skew (stopword-grade terms).** groupBy(term) would put all of ``def``'s
   postings in one task. Terms with df > ``salt_threshold`` are salted by
-  docid RANGE: ``salt = floor(docid · S / (max_docid+1))`` — contiguous
-  ranges, so blocks from different salts never overlap in docid space and
-  the global docid-ascending invariant survives concatenation in salt order
-  (no merge pass needed, unlike modulo salting).
-- **Resumable.** Each bucket's packed output is an independent, idempotent
-  overwrite; ``manifest.json`` records completed buckets + counters (docs
-  tokenized, postings emitted, blocks written). A killed build re-run with
-  ``resume=True`` skips completed stages/buckets — the resume test asserts
-  byte-identical results.
-- **Counters** are Spark accumulators aggregated per stage and persisted in
-  the manifest (lineage: input fingerprint = count + sha256 of sorted ext
-  ids, config echo).
+  docid RANGE (integer ``div`` on both JVM and numpy sides): a segment
+  spanning a salt boundary is exploded to every salt it overlaps and the
+  merge kernel keeps only the salt's exact docid range, so salt spans stay
+  disjoint and globally docid-ascending — no extra merge pass, unlike
+  modulo salting.
+- **Resumable.** A fresh build merges all buckets in one job; a resumed
+  build runs per-bucket idempotent-overwrite jobs, skipping buckets the
+  manifest marks complete. The resume test asserts a killed+resumed build
+  equals a never-failed build content-identically.
+- **Counters/lineage** persisted per stage in the manifest (docs tokenized,
+  blocks written, per-stage seconds, order-independent input fingerprint,
+  config echo).
 """
 
 from __future__ import annotations
@@ -90,6 +103,123 @@ META_COLS = [
     "term", "field", "salt", "block_id", "n",
     "min_docid", "max_docid", "max_tf", "min_doclen",
 ]
+
+# segment rows: one per (chunk, field, term) — a single varint-packed block
+# of that chunk's postings plus merge metadata. Marker rows (term =
+# DOCSTATS_MARKER) carry the chunk's (docid, doclen) pairs for doc_stats.
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("min_docid", T.LongType()),
+        T.StructField("max_docid", T.LongType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_doclen", T.LongType()),
+        T.StructField("ctf_part", T.LongType()),
+        T.StructField("docids", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("doclens", T.BinaryType()),
+        T.StructField("positions", T.BinaryType()),
+    ]
+)
+
+DOCSTATS_MARKER = "\x00docstats"
+SEGMENT_CHUNK = 512  # docs per segment
+
+
+def _segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
+    """mapInPandas kernel: docs -> segment rows (one per chunk×field×term)
+    + doc-stats marker rows. Pure Python tokenize + dict grouping (measured
+    faster than JVM regex split). Segment payloads are RAW little-endian
+    int bytes (`tobytes`/`frombuffer` — no per-term varint in the hot
+    path); the final merge phase emits the varint block format. Chunk rows
+    are sorted by docid so every segment is docid-ascending."""
+    flds = list(cfg.fields.items())
+    tok = cfg.tokenizer
+    chunk_docs = SEGMENT_CHUNK
+
+    def gen(batches):
+        buf: list = []
+
+        def flush():
+            rows = []
+            by_field: dict = {}
+            for docid, per_field in sorted(buf, key=lambda x: x[0]):
+                for fld, toks in per_field:
+                    if not toks:  # no tokens -> no doc_stats row (parity
+                        continue  # with the Lucene-norm-absent case)
+                    f_entry = by_field.setdefault(fld, ({}, [], []))
+                    terms, ds_ids, ds_lens = f_entry
+                    groups: dict = {}
+                    for pos, t in enumerate(toks):
+                        groups.setdefault(t, []).append(pos)
+                    n = len(toks)
+                    ds_ids.append(docid)
+                    ds_lens.append(n)
+                    for t, positions in groups.items():
+                        terms.setdefault(t, ([], [], [], []))
+                        d_, t_, l_, p_ = terms[t]
+                        d_.append(docid)
+                        t_.append(len(positions))
+                        l_.append(n)
+                        p_.extend(positions)
+            for fld, (terms, ds_ids, ds_lens) in by_field.items():
+                for t, (d_, t_, l_, p_) in terms.items():
+                    d = np.asarray(d_, dtype="<i8")
+                    tf = np.asarray(t_, dtype="<i4")
+                    L = np.asarray(l_, dtype="<i8")
+                    rows.append(
+                        (
+                            t, fld, int(d.size), int(d[0]), int(d[-1]),
+                            int(tf.max()), int(L.min()), int(tf.sum()),
+                            d.tobytes(), tf.tobytes(), L.tobytes(),
+                            np.asarray(p_, dtype="<i4").tobytes(),
+                        )
+                    )
+                md = np.asarray(ds_ids, dtype="<i8")
+                ml = np.asarray(ds_lens, dtype="<i8")
+                rows.append(
+                    (
+                        DOCSTATS_MARKER, fld, int(md.size), int(md[0]),
+                        int(md[-1]), 1, int(ml.min()), 0,
+                        md.tobytes(), b"", ml.tobytes(), b"",
+                    )
+                )
+            buf.clear()
+            cols = list(zip(*rows)) if rows else [[] for _ in range(12)]
+            return pd.DataFrame(
+                {
+                    "term": pd.Series(cols[0], dtype="object"),
+                    "field": pd.Series(cols[1], dtype="object"),
+                    "n": pd.Series(cols[2], dtype="int32"),
+                    "min_docid": pd.Series(cols[3], dtype="int64"),
+                    "max_docid": pd.Series(cols[4], dtype="int64"),
+                    "max_tf": pd.Series(cols[5], dtype="int32"),
+                    "min_doclen": pd.Series(cols[6], dtype="int64"),
+                    "ctf_part": pd.Series(cols[7], dtype="int64"),
+                    "docids": pd.Series(cols[8], dtype="object"),
+                    "tfs": pd.Series(cols[9], dtype="object"),
+                    "doclens": pd.Series(cols[10], dtype="object"),
+                    "positions": pd.Series(cols[11], dtype="object"),
+                }
+            )
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                buf.append(
+                    (
+                        row.docid,
+                        [(fld, tok.tokenize(getattr(row, src))) for fld, src in flds],
+                    )
+                )
+                if len(buf) >= chunk_docs:
+                    yield flush()
+        if buf:
+            yield flush()
+
+    cols = ["docid"] + sorted({src for _, src in flds})
+    return docs.select(*cols).mapInPandas(gen, SEGMENT_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -198,44 +328,90 @@ def build_persistent_index(
         )
         man.mark_stage("doc_ids")
 
-    # ---- stage: forward index (doc_terms, bucketed) ---------------------
-    if not man.stage_done("doc_terms"):
-        from search_engine_spark.index.build import forward_index_pandas
-
+    # ---- stage: per-partition packed SEGMENTS ---------------------------
+    # The Lucene-style segment pass (north-star: "build per-partition sorted
+    # posting lists, merge segment postings into a global inverted index").
+    # One Arrow pass over the docs; each chunk of docs becomes a SEGMENT:
+    # per (field, term) ONE row holding the chunk's varint-packed postings.
+    # Output volume ≈ vocab-size rows per chunk (binary-packed), i.e. the
+    # JVM<->Python boundary carries ~index-sized data instead of one row per
+    # (doc, term) — the 11.8M-row doc_terms materialization this replaces
+    # spent more time in Arrow serialization than in tokenization.
+    # Docids are contiguous per input partition (range-assigned at ingest),
+    # so segments have globally DISJOINT docid ranges: the merge phase is a
+    # concatenation in min_docid order, never an interleave.
+    if not man.stage_done("segments"):
         t_stage = time.time()
-        # one Arrow pass builds the grouped forward index per doc (no
-        # explode, no groupBy shuffle — see forward_index_pandas); the only
-        # shuffle is the bucket repartition feeding the partitioned write
-        doc_terms = forward_index_pandas(
-            docs, cfg.fields, cfg.tokenizer
-        ).withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
-        # NO repartition: every map task writes its rows into per-bucket
-        # files directly (tasks x buckets files). A pre-write shuffle by
-        # bucket would cap writer parallelism at n_buckets and stall the
-        # pipeline behind one exchange; file count is compacted by the
-        # per-bucket packed build anyway.
-        (
-            doc_terms.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{out}/doc_terms")
+        segs = _segment_rows(docs, cfg)
+        segs = segs.withColumn(
+            "bucket",
+            F.when(F.col("term") == DOCSTATS_MARKER, F.lit(-1)).otherwise(
+                _bucket_col(F.col("term"), cfg.n_buckets)
+            ),
+        )
+        # map-side partitioned write: every task writes its own per-bucket
+        # files; no shuffle anywhere in the segment pass
+        segs.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out}/segments"
         )
         man.mark_stage(
-            "doc_terms",
+            "segments",
             docs_tokenized=docs.count(),
-            doc_terms_sec=round(time.time() - t_stage, 2),
+            segments_sec=round(time.time() - t_stage, 2),
         )
 
-    doc_terms = spark.read.parquet(f"{out}/doc_terms")
+    segments = spark.read.parquet(f"{out}/segments")
 
     # ---- stage: doc_stats + term_stats + corpus_stats -------------------
     if not man.stage_done("stats"):
         t_stage = time.time()
-        doc_stats = doc_terms.select("docid", "field", "doclen").distinct()
+        # doc_stats decodes only the tiny marker rows (partition bucket=-1)
+        ds_schema = "docid long, field string, doclen long"
+
+        def decode_docstats(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    d = np.frombuffer(row.docids, dtype="<i8")
+                    L = np.frombuffer(row.doclens, dtype="<i8")
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "docid": d.astype("int64"),
+                                "field": row.field,
+                                "doclen": L,
+                            }
+                        )
+                    )
+                yield (
+                    pd.concat(outs, ignore_index=True)
+                    if outs
+                    else pd.DataFrame(
+                        {
+                            "docid": pd.Series([], dtype="int64"),
+                            "field": pd.Series([], dtype="object"),
+                            "doclen": pd.Series([], dtype="int64"),
+                        }
+                    )
+                )
+
+        doc_stats = (
+            segments.where(F.col("bucket") == -1)
+            .select("field", "n", "docids", "doclens")
+            .mapInPandas(decode_docstats, ds_schema)
+        )
         doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
-        term_stats = doc_terms.groupBy("term", "field").agg(
-            F.count("*").cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("ctf"),
-        ).withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
+
+        # term_stats is a plain aggregation over segment METADATA columns
+        term_stats = (
+            segments.where(F.col("bucket") >= 0)
+            .groupBy("term", "field")
+            .agg(
+                F.sum("n").cast("long").alias("df"),
+                F.sum("ctf_part").cast("long").alias("ctf"),
+            )
+            .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
+        )
         term_stats.write.mode("overwrite").parquet(f"{out}/term_stats")
 
         rows = (
@@ -269,22 +445,66 @@ def build_persistent_index(
     threshold = cfg.salt_threshold
     block_size = cfg.block_size
 
-    # ---- per-bucket packed postings build -------------------------------
+    # ---- per-bucket packed postings build (segment MERGE phase) ---------
     tstats = spark.read.parquet(f"{out}/term_stats")
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One (term, field, salt) group -> packed block rows. Input rows:
-        docid, tf, positions, doclen — sorted here; numpy-vectorized codec."""
-        pdf = pdf.sort_values("docid")
+    def _gather_runs(flat: np.ndarray, lengths: np.ndarray, order: np.ndarray) -> np.ndarray:
+        """Reorder a flat array of variable-length runs (run i has
+        lengths[i] elements) into run order `order` — fully vectorized."""
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        Ln = lengths[order]
+        total = int(Ln.sum())
+        if total == 0:
+            return flat[:0]
+        out_off = np.repeat(np.concatenate(([0], np.cumsum(Ln)[:-1])), Ln)
+        idx = np.repeat(starts[order], Ln) + (np.arange(total) - out_off)
+        return flat[idx]
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One (term, field, salt) group of SEGMENT rows -> final packed
+        block rows. Segments carry globally-disjoint docid ranges, so the
+        merge is: order by min_docid, decode, concatenate, keep only this
+        salt's docid range (heavy terms only), re-cut into block_size
+        blocks. All numpy; no per-posting Python objects."""
+        pdf = pdf.sort_values("min_docid")
         term = pdf["term"].iloc[0]
         fld = pdf["field"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
+        salted = bool(pdf["salted"].iloc[0])
+        dd_, tt_, ll_, pp_ = [], [], [], []
+        for row in pdf.itertuples(index=False):
+            d = np.frombuffer(row.docids, dtype="<i8").astype(np.int64)
+            t = np.frombuffer(row.tfs, dtype="<i4").astype(np.int64)
+            L = np.frombuffer(row.doclens, dtype="<i8").astype(np.int64)
+            P = np.frombuffer(row.positions, dtype="<i4").astype(np.int64)
+            if salted:
+                mask = (d * n_salts) // (max_docid + 1) == salt
+                if not mask.all():
+                    keep = np.flatnonzero(mask)
+                    P = _gather_runs(P, t, keep)
+                    d, t, L = d[keep], t[keep], L[keep]
+            if d.size:
+                dd_.append(d), tt_.append(t), ll_.append(L), pp_.append(P)
+        if not dd_:
+            return pd.DataFrame(
+                {f.name: pd.Series([], dtype="object") for f in PACKED_SCHEMA.fields}
+            ).astype({"salt": "int32", "block_id": "int32", "n": "int32",
+                      "min_docid": "int64", "max_docid": "int64",
+                      "max_tf": "int32", "min_doclen": "int64"}, errors="ignore")
+        d_all = np.concatenate(dd_)
+        t_all = np.concatenate(tt_)
+        l_all = np.concatenate(ll_)
+        p_all = np.concatenate(pp_)
+        # segment ranges are usually disjoint-and-ordered, but the docid
+        # assignment's pid-hash shuffle can interleave ranges within a task
+        # — merge with an explicit sort (each docid occurs exactly once per
+        # term, so this is a permutation, never a combine)
+        if not np.all(np.diff(d_all) > 0):
+            order = np.argsort(d_all, kind="stable")
+            p_all = _gather_runs(p_all, t_all, order)
+            d_all, t_all, l_all = d_all[order], t_all[order], l_all[order]
         blocks = encode_blocks(
-            pdf["docid"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["doclen"].to_numpy(np.int64),
-            list(pdf["positions"]),
-            block_size=block_size,
+            d_all, t_all, l_all, block_size=block_size, pos_flat=p_all
         )
         return pd.DataFrame(
             [
@@ -305,57 +525,105 @@ def build_persistent_index(
     from concurrent.futures import ThreadPoolExecutor
 
     man_lock = threading.Lock()
-    blocks_written = 0
-    failed_at: list[int] = []
+
+    # heavy terms collected ONCE (tiny: df > threshold can only be a handful
+    # of stopword-grade terms); shipped to every bucket job as an isin list
+    # instead of a per-bucket broadcast-join sub-job
+    heavy_terms = [
+        r["term"]
+        for r in tstats.where(F.col("df") > threshold).select("term").distinct().collect()
+    ]
 
     def build_bucket(b: int) -> int:
-        """One bucket: partition-pruned doc_terms read (doclen already on
-        the row — no join), broadcast heavy-term flags, salted
-        applyInPandas encode, idempotent overwrite, manifest commit."""
-        part = spark.read.parquet(f"{out}/doc_terms/bucket={b}")
-        heavy = tstats.where(
-            (F.col("bucket") == b) & (F.col("df") > threshold)
-        ).select("term", "field", F.lit(True).alias("_heavy"))
-        joined = part.join(F.broadcast(heavy), ["term", "field"], "left").withColumn(
-            "salt",
-            F.when(
-                F.col("_heavy").isNotNull(),
-                (F.col("docid") * n_salts / (max_docid + 1)).cast("int"),
-            ).otherwise(F.lit(0)),
+        """One bucket: partition-pruned segments read, heavy terms exploded
+        to their overlapping salt ranges (JVM-side), one applyInPandas
+        merge per (term, field, salt), idempotent overwrite."""
+        part = spark.read.parquet(f"{out}/segments/bucket={b}")
+        salted = (
+            F.col("term").isin(heavy_terms) if heavy_terms else F.lit(False)
         )
-        packed = joined.select(
-            "term", "field", "salt", "docid", "tf", "positions", "doclen"
-        ).groupBy("term", "field", "salt").applyInPandas(
-            encode_group, PACKED_SCHEMA
+        # a segment spanning a salt boundary goes to every salt it overlaps;
+        # the merge kernel filters decoded docids to the salt's exact range,
+        # so salt spans stay disjoint. INTEGER division (div) on both sides
+        # — a double-division salt could round differently from numpy's //
+        # at large docids and strand postings at salt boundaries.
+        salt_lo = F.expr(f"(min_docid * {n_salts}) div {max_docid + 1}").cast("int")
+        salt_hi = F.expr(f"(max_docid * {n_salts}) div {max_docid + 1}").cast("int")
+        joined = (
+            part.withColumn("salted", salted)
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.when(F.col("salted"), F.sequence(salt_lo, salt_hi)).otherwise(
+                        F.array(F.lit(0))
+                    )
+                ),
+            )
+        )
+        packed = joined.groupBy("term", "field", "salt").applyInPandas(
+            merge_group, PACKED_SCHEMA
         )
         packed.write.mode("overwrite").parquet(f"{out}/packed/bucket={b}")
-        return spark.read.parquet(f"{out}/packed/bucket={b}").count()
+        return 0
 
     t_buckets = time.time()
 
-    # buckets build concurrently (Spark schedules the jobs side by side,
-    # filling executor slots a single bucket's tail tasks would leave idle);
-    # each commits independently -> resume granularity is per bucket.
     todo = [b for b in range(cfg.n_buckets) if not man.bucket_done(b)]
+    if fail_after_bucket is None and len(todo) == cfg.n_buckets:
+        # fresh build: ONE merge job over every bucket — a single shuffle by
+        # (term, field, salt) and a partitioned write; per-bucket jobs (the
+        # resume path below) would pay n_buckets x job-orchestration
+        # overhead for identical output
+        segs_all = spark.read.parquet(f"{out}/segments").where(F.col("bucket") >= 0)
+        salted = (
+            F.col("term").isin(heavy_terms) if heavy_terms else F.lit(False)
+        )
+        salt_lo = F.expr(f"(min_docid * {n_salts}) div {max_docid + 1}").cast("int")
+        salt_hi = F.expr(f"(max_docid * {n_salts}) div {max_docid + 1}").cast("int")
+        joined = segs_all.withColumn("salted", salted).withColumn(
+            "salt",
+            F.explode(
+                F.when(F.col("salted"), F.sequence(salt_lo, salt_hi)).otherwise(
+                    F.array(F.lit(0))
+                )
+            ),
+        )
+        packed = (
+            joined.drop("bucket")
+            .groupBy("term", "field", "salt")
+            .applyInPandas(merge_group, PACKED_SCHEMA)
+            .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
+        )
+        packed.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out}/packed"
+        )
+        for b in todo:
+            man.mark_bucket(b)
+        todo = []
+
+    # resume path: buckets build concurrently (Spark schedules the jobs side
+    # by side); each commits independently -> per-bucket resume granularity.
     if fail_after_bucket is not None:
         # deterministic sequential mode for the failure-injection test
         for b in todo:
-            nb = build_bucket(b)
-            blocks_written += nb
-            man.mark_bucket(b, blocks_written=nb)
+            build_bucket(b)
+            man.mark_bucket(b)
             if b >= fail_after_bucket:
                 raise RuntimeError(f"injected failure after bucket {b}")
     elif todo:
         with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
-            for b, nb in zip(todo, pool.map(build_bucket, todo)):
+            for b, _ in zip(todo, pool.map(build_bucket, todo)):
                 with man_lock:
-                    blocks_written += nb
-                    man.mark_bucket(b, blocks_written=nb)
+                    man.mark_bucket(b)
 
-    man.mark_stage(
-        "packed", total_blocks=blocks_written,
-        buckets_sec=round(time.time() - t_buckets, 2),
-    )
+    if not man.stage_done("packed"):
+        total_blocks = spark.read.parquet(f"{out}/packed").count()
+        man.mark_stage(
+            "packed",
+            total_blocks=total_blocks,
+            blocks_written=total_blocks,
+            buckets_sec=round(time.time() - t_buckets, 2),
+        )
     return dict(man.data["counters"], **man.data["lineage"])
 
 
@@ -377,10 +645,12 @@ class PackedIndex(IndexTables):
         man = Manifest(os.path.join(out_dir, "manifest.json"))
         self.n_buckets = int(man.data["lineage"]["n_buckets"])
         packed = spark.read.parquet(f"{out_dir}/packed")
-        doc_terms = spark.read.parquet(f"{out_dir}/doc_terms")
         super().__init__(
             doc_ids=spark.read.parquet(f"{out_dir}/doc_ids"),
-            doc_terms=doc_terms,
+            # forward index is not materialized in the segment layout —
+            # reconstructable by decoding packed postings (PRF runs against
+            # the in-memory IndexTables in this build)
+            doc_terms=None,
             doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
             postings=None,  # packed — use postings_for / term_postings
             term_stats=spark.read.parquet(f"{out_dir}/term_stats"),

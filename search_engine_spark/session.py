@@ -33,6 +33,10 @@ def get_spark(
         # forward-index kernels expand each doc ~300x: small Arrow batches
         # keep per-worker pandas frames bounded (large batches thrash RAM)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # task-side commit (v2): partitioned writes produce tasks x buckets
+        # files; v1's driver-side sequential rename pass serializes the tail
+        # of every write stage
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

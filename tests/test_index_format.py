@@ -48,10 +48,17 @@ def test_delta_roundtrip(vals):
     assert np.array_equal(delta_decode(delta_encode(arr)), arr)
 
 
+from hypothesis import HealthCheck
+
+
 @given(st.data())
-@settings(max_examples=50, deadline=None)
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.data_too_large],
+)
 def test_block_roundtrip(data):
-    n = data.draw(st.integers(min_value=1, max_value=200))
+    n = data.draw(st.integers(min_value=1, max_value=100))
     docids = np.array(
         sorted(
             data.draw(
@@ -180,7 +187,7 @@ def _dir_fingerprint(root: str) -> dict:
     import pyarrow.parquet as pq
 
     out = {}
-    for t in ["doc_ids", "doc_stats", "term_stats", "packed"]:
+    for t in ["doc_ids", "doc_stats", "term_stats", "segments", "packed"]:
         files = sorted(glob.glob(f"{root}/{t}/**/*.parquet", recursive=True))
         assert files, f"no parquet under {root}/{t}"
         rows = []
