@@ -299,13 +299,10 @@ def build_persistent_index(
         n_docs = docs.count()
         # order-independent xor of per-row hashes: fully partial-aggregated,
         # no single-task global sort (which was a serial tail at scale)
-        fp_row = docs.agg(
-            F.bit_xor(F.xxhash64("ext_docid")).alias("x"),
-            F.bit_xor(F.xxhash64(F.sha2(F.col("content"), 256))).alias("c")
-            if "content" in docs.columns
-            else F.lit(0).alias("c"),
-        ).first()
-        fp = f"{fp_row['x']:x}:{fp_row['c']:x}"
+        # keys only — content integrity is covered by the per-row
+        # sha256(content) invariant in the pytest gate
+        fp_row = docs.agg(F.bit_xor(F.xxhash64("ext_docid")).alias("x")).first()
+        fp = f"{fp_row['x']:x}"
         man.set_lineage(
             n_docs=n_docs,
             input_fingerprint=fp,
