@@ -120,9 +120,13 @@ class IlNode:
     # (df, ctf) of the materialized result — needed by #SCORE under BM25/Indri
     # for composite children (the reference reads them off the returned
     # InvList). For Term leaves this is a broadcast-stats lookup, no job runs.
-    def list_stats(self, ctx: EvalContext) -> tuple[int, int]:
+    # `posts` lets the caller pass an already-cached postings frame so the
+    # stats aggregate and the scoring scan share ONE evaluation.
+    def list_stats(
+        self, ctx: EvalContext, posts: DataFrame | None = None
+    ) -> tuple[int, int]:
         row = (
-            self.postings(ctx)
+            (posts if posts is not None else self.postings(ctx))
             .agg(
                 F.count("*").alias("df"),
                 F.coalesce(F.sum("tf"), F.lit(0)).alias("ctf"),
@@ -367,6 +371,29 @@ class ScoreNode(SlNode):
     around any Il argument of an Sl operator (QryopSl.java:31-32)."""
 
     child: IlNode
+    _mat: dict = dc_field(default_factory=dict, repr=False, compare=False)
+
+    def _materialized(self, ctx: EvalContext) -> tuple[DataFrame, tuple[int, int]]:
+        """(postings, (df, ctf)) with a composite child evaluated ONCE.
+
+        A BM25/Indri #SCORE over #NEAR/#SYN/… needs the result list's df/ctf
+        (a driver aggregate) AND the list itself; without caching, the
+        positional mapInPandas walk ran twice (VERDICT r01 item 5). Term
+        leaves skip the cache — their df/ctf is a broadcast-stats lookup.
+        Boolean models never read df/ctf, so no stats job runs at all."""
+        key = id(ctx)
+        if key not in self._mat:
+            needs_stats = ctx.model.name in (BM25, INDRI)
+            posts = self.child.postings(ctx)
+            if isinstance(self.child, TermNode):
+                stats = self.child.list_stats(ctx) if needs_stats else (0, 0)
+            elif needs_stats:
+                posts = posts.cache()
+                stats = self.child.list_stats(ctx, posts)
+            else:
+                stats = (0, 0)
+            self._mat[key] = (posts, stats)
+        return self._mat[key]
 
     def _score_col(self, ctx: EvalContext, df_val: int, ctf_val: int) -> Column:
         m = ctx.model
@@ -391,8 +418,8 @@ class ScoreNode(SlNode):
         raise ValueError(f"model {m.name} unsupported by #SCORE")
 
     def scores(self, ctx: EvalContext) -> DataFrame:
-        df_val, ctf_val = self.child.list_stats(ctx)
-        posts = _with_doclen(ctx, self.child.postings(ctx), self.child.field)
+        posts, (df_val, ctf_val) = self._materialized(ctx)
+        posts = _with_doclen(ctx, posts, self.child.field)
         return posts.select(
             "docid", self._score_col(ctx, df_val, ctf_val).alias("score")
         )
@@ -405,7 +432,7 @@ class ScoreNode(SlNode):
         leaves ctf=0 -> default collapses to (1-λ)·µ·0/(doclen+µ)+λ·0 = 0."""
         if ctx.model.name != INDRI:
             raise ValueError("default scores only defined for Indri")
-        _, ctf_val = self.child.list_stats(ctx)
+        _, (_, ctf_val) = self._materialized(ctx)
         fld = self.child.field
         default_col = score_mod.indri_default_score(
             ctf=ctf_val,
@@ -531,7 +558,8 @@ def _indri_pivot_scores(ctx: EvalContext, children: list, combine) -> DataFrame 
 
     frames = []
     for i, c in enumerate(children):
-        posts = _with_doclen(ctx, c.child.postings(ctx), fld)
+        posts, _ = c._materialized(ctx)
+        posts = _with_doclen(ctx, posts, fld)
         frames.append(
             posts.select(
                 "docid",
@@ -550,7 +578,7 @@ def _indri_pivot_scores(ctx: EvalContext, children: list, combine) -> DataFrame 
 
     cols = []
     for i, c in enumerate(children):
-        _, ctf_val = c.child.list_stats(ctx)
+        _, (_, ctf_val) = c._materialized(ctx)
         tf_col = F.col(f"_tf{i}")
         actual = score_mod.indri_score(
             ctf=ctf_val, c_len=c_len, p=p, tf=tf_col, doclen=F.col("doclen")

@@ -11,10 +11,12 @@ at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import TOP_K
+
+_TOPK_SCHEMA = "rank int, docid long, ext_docid string, score double"
 
 
 def rank_topk(
@@ -23,21 +25,24 @@ def rank_topk(
     """(docid, score) -> top-k (rank, docid, ext_docid, score).
 
     doc_ids is the small dimension table — broadcast to avoid shuffling the
-    score side. The row_number window runs on the ≤k surviving rows only.
-    """
+    score side. ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition top-k, merged on the driver), so the ≤k surviving rows are
+    already on the driver; rank is assigned there by enumeration instead of
+    an unpartitioned row_number window (which moved all k rows to a single
+    task and spammed WindowExec warnings — VERDICT r01 item 10)."""
     order = [F.desc("score"), F.asc("ext_docid")]
     top = (
         scores.join(F.broadcast(doc_ids), "docid")
+        .select("docid", "ext_docid", "score")
         .orderBy(*order)
         .limit(k)
     )
-    w = Window.orderBy(*order)
-    return top.select(
-        F.row_number().over(w).alias("rank"),
-        "docid",
-        "ext_docid",
-        "score",
-    )
+    rows = top.collect()  # ≤k rows, already in rank order
+    data = [
+        (i + 1, r["docid"], r["ext_docid"], float(r["score"]))
+        for i, r in enumerate(rows)
+    ]
+    return scores.sparkSession.createDataFrame(data, _TOPK_SCHEMA)
 
 
 def trec_lines(qid: str, topk_rows: list, run_id: str = "run-1") -> list[str]:

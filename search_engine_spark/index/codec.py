@@ -36,11 +36,14 @@ BLOCK_SIZE = 1024
 
 def varint_encode(values: np.ndarray) -> bytes:
     """uint64 array -> LEB128 byte stream, vectorized."""
-    v = np.asarray(values, dtype=np.uint64)
+    raw = np.asarray(values)
+    # sign check BEFORE the uint64 cast — a negative int64 would otherwise
+    # silently wrap to a huge uint64 and encode garbage
+    if raw.size and np.issubdtype(raw.dtype, np.signedinteger) and int(raw.min()) < 0:
+        raise ValueError("varint_encode requires non-negative values")
+    v = raw.astype(np.uint64)
     if v.size == 0:
         return b""
-    if v.size and int(v.min()) < 0:  # pragma: no cover - guarded upstream
-        raise ValueError("varint_encode requires non-negative values")
     # how many 7-bit groups each value needs (at least 1) — exact integer
     # thresholds, no float log2 (which misfires at exact powers of two)
     nbytes = np.ones(v.size, dtype=np.int64)

@@ -226,3 +226,47 @@ def test_resume_after_injected_failure(spark, code_docs, tmp_path_factory):
     man2 = Manifest(os.path.join(cfg_b.out_dir, "manifest.json"))
     assert all(man2.bucket_done(i) for i in range(4))
     assert counters["blocks_written"] > 0
+
+
+def test_resume_validates_config_and_input(spark, code_docs, built):
+    """Resuming with a changed BuildConfig or a changed corpus must fail
+    loudly (ADVICE r01: stale-stage mixing), not silently skip stages."""
+    out, cfg, _ = built
+    bad_cfg = BuildConfig(**{**cfg.__dict__, "n_buckets": cfg.n_buckets * 2})
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_persistent_index(spark, code_docs, bad_cfg, resume=True)
+    smaller = code_docs.limit(50)
+    with pytest.raises(ValueError, match="input mismatch"):
+        build_persistent_index(spark, smaller, cfg, resume=True)
+    # unchanged config+input: resume is a no-op and keeps counters
+    counters = build_persistent_index(spark, code_docs, cfg, resume=True)
+    assert counters["blocks_written"] > 0
+
+
+def test_driver_side_xxhash_bucket_matches_jvm(spark):
+    """_py_bucket (pure-Python XXH64) must equal pmod(F.xxhash64(term), B)
+    for every term shape — bucket routing must never drift from the build."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.index.persist import _bucket_col, _py_bucket
+    from search_engine_spark.index.xxhash import xxhash64_str
+
+    rng = random.Random(11)
+    terms = ["", "a", "def", "x" * 7, "y" * 8, "z" * 31, "w" * 32, "v" * 40,
+             "héllo_wörld", "token_✓"]
+    terms += [
+        "".join(rng.choices(string.ascii_lowercase + "_0123456789", k=rng.randrange(1, 60)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        "term",
+        F.xxhash64("term").alias("h"),
+        _bucket_col(F.col("term"), 16).alias("b"),
+    ).collect()
+    for r in rows:
+        assert xxhash64_str(r["term"]) == r["h"], r["term"]
+        assert _py_bucket(r["term"], 16) == r["b"], r["term"]
