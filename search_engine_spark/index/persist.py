@@ -79,6 +79,13 @@ class BuildConfig:
     n_salts: int = 8
     fields: dict = dc_field(default_factory=lambda: {"body": "content"})
     tokenizer: Tokenizer = CODE_TOKENIZER
+    # merge-phase shuffle partitions (None = 2x parallelism; at cluster
+    # scale: total segment bytes / ~128MB)
+    merge_partitions: int | None = None
+    # segment kernel: "arrow" = pyarrow.compute tokenize + numpy grouping
+    # (the fast path — no per-token Python objects); "python" = the
+    # per-token reference kernel (kept for the equivalence test)
+    kernel: str = "arrow"
 
 
 PACKED_SCHEMA = T.StructType(
@@ -125,6 +132,12 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 DOCSTATS_MARKER = "\x00docstats"
+# per-chunk (docid, ext_docid) marker: docids ride the `docids` binary, the
+# NUL-joined ext-id strings ride the (otherwise unused) `positions` binary.
+# Emitted once per chunk for ALL docs (zero-token docs included — doc_ids
+# must stay complete), so the doc_ids table needs no separate docs scan.
+DOCIDS_MARKER = "\x00docids"
+MARKER_TERMS = [DOCSTATS_MARKER, DOCIDS_MARKER]
 SEGMENT_CHUNK = 512  # docs per segment
 
 
@@ -145,7 +158,17 @@ def _segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         def flush():
             rows = []
             by_field: dict = {}
-            for docid, per_field in sorted(buf, key=lambda x: x[0]):
+            srt = sorted(buf, key=lambda x: x[0])
+            all_ids = np.asarray([x[0] for x in srt], dtype="<i8")
+            ext_blob = "\x00".join(x[1] for x in srt).encode("utf-8")
+            rows.append(
+                (
+                    DOCIDS_MARKER, "", int(all_ids.size), int(all_ids[0]),
+                    int(all_ids[-1]), 0, 0, 0,
+                    all_ids.tobytes(), b"", b"", ext_blob,
+                )
+            )
+            for docid, _ext, per_field in srt:
                 for fld, toks in per_field:
                     if not toks:  # no tokens -> no doc_stats row (parity
                         continue  # with the Lucene-norm-absent case)
@@ -210,6 +233,7 @@ def _segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
                 buf.append(
                     (
                         row.docid,
+                        row.ext_docid,
                         [(fld, tok.tokenize(getattr(row, src))) for fld, src in flds],
                     )
                 )
@@ -218,8 +242,328 @@ def _segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         if buf:
             yield flush()
 
-    cols = ["docid"] + sorted({src for _, src in flds})
+    cols = ["docid", "ext_docid"] + sorted({src for _, src in flds})
     return docs.select(*cols).mapInPandas(gen, SEGMENT_SCHEMA)
+
+
+def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
+    """Vectorized twin of ``_segment_rows`` via ``mapInArrow``: tokenize with
+    pyarrow.compute (RE2 split, C-side), group with numpy sorts — NO
+    per-token Python objects. The r01 python kernel allocated ~39M token
+    strings + dict-of-list cells per 100k files; that allocator/memory
+    traffic was the measured scaling ceiling of the segment stage (0.64-0.7
+    efficiency at 1→4 cores). One Arrow batch of docs = one segment chunk.
+
+    Output rows are SEGMENT_SCHEMA, same payload format (raw LE int bytes);
+    chunk boundaries differ from the python kernel (batch-sized, not 512),
+    which is invisible after the merge pass — equivalence of the final index
+    is asserted in tests/test_index_format.py."""
+    import pyarrow as pa
+
+    flds = list(cfg.fields.items())
+    tok = cfg.tokenizer
+    arrow_schema = pa.schema(
+        [
+            pa.field("term", pa.string()),
+            pa.field("field", pa.string()),
+            pa.field("n", pa.int32()),
+            pa.field("min_docid", pa.int64()),
+            pa.field("max_docid", pa.int64()),
+            pa.field("max_tf", pa.int32()),
+            pa.field("min_doclen", pa.int64()),
+            pa.field("ctf_part", pa.int64()),
+            pa.field("docids", pa.binary()),
+            pa.field("tfs", pa.binary()),
+            pa.field("doclens", pa.binary()),
+            pa.field("positions", pa.binary()),
+        ]
+    )
+    stop_list = sorted(tok.stopwords)
+
+    def one_field_chunk(fld: str, docid_np: np.ndarray, content: pa.Array) -> list:
+        """One (chunk, field): tokenize + group -> list of column tuples."""
+        lists = tok.tokens_arrow(content)
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lists.values
+        if len(flat) == 0:
+            return []
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        # bad codes: empty string or stopword (vectorized membership on the
+        # tiny per-chunk vocab)
+        import pyarrow.compute as pc
+
+        bad = pc.is_in(vocab, value_set=pa.array([""] + stop_list)).to_numpy(
+            zero_copy_only=False
+        )
+        vocab_py = vocab.to_pylist()
+
+        tok_counts = np.diff(offsets)  # raw tokens per doc
+        doc_idx = np.repeat(np.arange(docid_np.size, dtype=np.int64), tok_counts)
+        keep = ~bad[codes]
+        codes_f = codes[keep]
+        doc_f = doc_idx[keep]
+        if codes_f.size == 0:
+            return []
+        # post-filter doclen + within-doc 0-based positions
+        kept_counts = np.bincount(doc_f, minlength=docid_np.size)
+        kept_starts = np.concatenate(([0], np.cumsum(kept_counts)[:-1]))
+        pos_f = np.arange(doc_f.size, dtype=np.int64) - kept_starts[doc_f]
+
+        # docid-ascending emission: rank docs by docid (input order within a
+        # partition is docid order, but stay defensive like the python kernel)
+        drank = np.empty(docid_np.size, dtype=np.int64)
+        order_docs = np.argsort(docid_np, kind="stable")
+        drank[order_docs] = np.arange(docid_np.size)
+        docid_by_rank = docid_np[order_docs]
+        kept_by_rank = kept_counts[order_docs]
+
+        # group token stream by (term, doc): one posting per run
+        key = codes_f * np.int64(docid_np.size) + drank[doc_f]
+        order = np.argsort(key, kind="stable")  # positions stay ascending
+        ks = key[order]
+        run_start = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        run_key = ks[run_start]
+        run_code = run_key // docid_np.size
+        run_drank = run_key % docid_np.size
+        tf = np.diff(np.append(run_start, ks.size)).astype(np.int64)
+        run_docid = docid_by_rank[run_drank]
+        run_doclen = kept_by_rank[run_drank].astype(np.int64)
+        pos_sorted = pos_f[order].astype("<i4")
+
+        # term runs over the posting arrays
+        t_start = np.flatnonzero(
+            np.concatenate(([True], run_code[1:] != run_code[:-1]))
+        )
+        t_end = np.append(t_start[1:], run_code.size)
+        max_tf = np.maximum.reduceat(tf, t_start)
+        min_dl = np.minimum.reduceat(run_doclen, t_start)
+        ctf = np.add.reduceat(tf, t_start)
+        pos_cum = np.concatenate(([0], np.cumsum(tf)))
+
+        d_le = run_docid.astype("<i8")
+        t_le = tf.astype("<i4")
+        l_le = run_doclen.astype("<i8")
+        rows = []
+        for j in range(t_start.size):
+            a, b = int(t_start[j]), int(t_end[j])
+            rows.append(
+                (
+                    vocab_py[int(run_code[a])], fld, b - a,
+                    int(run_docid[a]), int(run_docid[b - 1]),
+                    int(max_tf[j]), int(min_dl[j]), int(ctf[j]),
+                    d_le[a:b].tobytes(), t_le[a:b].tobytes(),
+                    l_le[a:b].tobytes(),
+                    pos_sorted[int(pos_cum[a]) : int(pos_cum[b])].tobytes(),
+                )
+            )
+        # doc-stats marker row (docs with zero post-filter tokens excluded,
+        # matching the python kernel / Lucene-norm-absent case)
+        nz = kept_by_rank > 0
+        md = docid_by_rank[nz].astype("<i8")
+        ml = kept_by_rank[nz].astype("<i8")
+        if md.size:
+            rows.append(
+                (
+                    DOCSTATS_MARKER, fld, int(md.size), int(md[0]),
+                    int(md[-1]), 1, int(ml.min()), 0,
+                    md.tobytes(), b"", ml.tobytes(), b"",
+                )
+            )
+        return rows
+
+    def gen(batches):
+        for rb in batches:
+            tbl = pa.table(rb)
+            docid_np = tbl.column("docid").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if docid_np.size == 0:
+                continue
+            order_docs = np.argsort(docid_np, kind="stable")
+            ids_sorted = docid_np[order_docs].astype("<i8")
+            exts = tbl.column("ext_docid").to_pylist()
+            ext_blob = "\x00".join(exts[i] for i in order_docs).encode("utf-8")
+            rows: list = [
+                (
+                    DOCIDS_MARKER, "", int(ids_sorted.size), int(ids_sorted[0]),
+                    int(ids_sorted[-1]), 0, 0, 0,
+                    ids_sorted.tobytes(), b"", b"", ext_blob,
+                )
+            ]
+            for fld, src in flds:
+                content = tbl.column(src).combine_chunks()
+                rows.extend(one_field_chunk(fld, docid_np, content))
+            cols = list(zip(*rows))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[i], type=arrow_schema.field(i).type)
+                    for i in range(len(arrow_schema))
+                ],
+                schema=arrow_schema,
+            )
+
+    cols = ["docid", "ext_docid"] + sorted({src for _, src in flds})
+    return docs.select(*cols).mapInArrow(gen, SEGMENT_SCHEMA)
+
+
+def segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
+    """Kernel dispatch (BuildConfig.kernel): arrow fast path vs python
+    reference kernel — identical final index, asserted in tests."""
+    if cfg.kernel == "arrow":
+        return _segment_rows_arrow(docs, cfg)
+    return _segment_rows(docs, cfg)
+
+
+def _gather_runs(flat: np.ndarray, lengths: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Reorder a flat array of variable-length runs (run i has
+    lengths[i] elements) into run order `order` — fully vectorized."""
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    Ln = lengths[order]
+    total = int(Ln.sum())
+    if total == 0:
+        return flat[:0]
+    out_off = np.repeat(np.concatenate(([0], np.cumsum(Ln)[:-1])), Ln)
+    idx = np.repeat(starts[order], Ln) + (np.arange(total) - out_off)
+    return flat[idx]
+
+
+def make_merge_group(n_salts: int, max_docid: int, block_size: int):
+    """applyInPandas kernel factory for the segment MERGE phase (module-level
+    so it's profilable/testable outside a Spark job)."""
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One (term, field, salt) group of SEGMENT rows -> final packed
+        block rows. Segments carry globally-disjoint docid ranges, so the
+        merge is: order by min_docid, decode, concatenate, keep only this
+        salt's docid range (heavy terms only), re-cut into block_size
+        blocks. All numpy; no per-posting Python objects."""
+        pdf = pdf.sort_values("min_docid")
+        term = pdf["term"].iloc[0]
+        fld = pdf["field"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        salted = bool(pdf["salted"].iloc[0])
+        dd_, tt_, ll_, pp_ = [], [], [], []
+        # zero-copy views over the raw segment payloads ("<i8"/"<i4" are
+        # native LE on every supported platform — no astype copies)
+        for db, tb, lb, pb in zip(
+            pdf["docids"].values, pdf["tfs"].values,
+            pdf["doclens"].values, pdf["positions"].values,
+        ):
+            d = np.frombuffer(db, dtype="<i8")
+            t = np.frombuffer(tb, dtype="<i4")
+            L = np.frombuffer(lb, dtype="<i8")
+            P = np.frombuffer(pb, dtype="<i4")
+            if salted:
+                mask = (d * n_salts) // (max_docid + 1) == salt
+                if not mask.all():
+                    keep = np.flatnonzero(mask)
+                    P = _gather_runs(P, t.astype(np.int64), keep)
+                    d, t, L = d[keep], t[keep], L[keep]
+            if d.size:
+                dd_.append(d), tt_.append(t), ll_.append(L), pp_.append(P)
+        if not dd_:
+            return pd.DataFrame(
+                {f.name: pd.Series([], dtype="object") for f in PACKED_SCHEMA.fields}
+            ).astype({"salt": "int32", "block_id": "int32", "n": "int32",
+                      "min_docid": "int64", "max_docid": "int64",
+                      "max_tf": "int32", "min_doclen": "int64"}, errors="ignore")
+        d_all = np.concatenate(dd_)
+        t_all = np.concatenate(tt_).astype(np.int64)  # int64: cumsum-safe
+        l_all = np.concatenate(ll_)
+        p_all = np.concatenate(pp_)
+        # segment ranges are usually disjoint-and-ordered, but the docid
+        # assignment's pid-hash shuffle can interleave ranges within a task
+        # — merge with an explicit sort (each docid occurs exactly once per
+        # term, so this is a permutation, never a combine)
+        if not np.all(np.diff(d_all) > 0):
+            order = np.argsort(d_all, kind="stable")
+            p_all = _gather_runs(p_all, t_all, order)
+            d_all, t_all, l_all = d_all[order], t_all[order], l_all[order]
+        blocks = encode_blocks(
+            d_all, t_all, l_all, block_size=block_size, pos_flat=p_all
+        )
+        return pd.DataFrame(
+            {
+                "term": term, "field": fld, "salt": salt,
+                "block_id": [b["block_id"] for b in blocks],
+                "n": [b["n"] for b in blocks],
+                "min_docid": [b["min_docid"] for b in blocks],
+                "max_docid": [b["max_docid"] for b in blocks],
+                "max_tf": [b["max_tf"] for b in blocks],
+                "min_doclen": [b["min_doclen"] for b in blocks],
+                "docids": [b["docids"] for b in blocks],
+                "tfs": [b["tfs"] for b in blocks],
+                "doclens": [b["doclens"] for b in blocks],
+                "positions": [b["positions"] for b in blocks],
+            },
+            columns=[f.name for f in PACKED_SCHEMA.fields],
+        )
+
+    return merge_group
+
+
+_PACKED_ARROW = None
+
+
+def _packed_arrow_schema():
+    global _PACKED_ARROW
+    if _PACKED_ARROW is None:
+        import pyarrow as pa
+
+        _PACKED_ARROW = pa.schema(
+            [
+                pa.field("term", pa.string()),
+                pa.field("field", pa.string()),
+                pa.field("salt", pa.int32()),
+                pa.field("block_id", pa.int32()),
+                pa.field("n", pa.int32()),
+                pa.field("min_docid", pa.int64()),
+                pa.field("max_docid", pa.int64()),
+                pa.field("max_tf", pa.int32()),
+                pa.field("min_doclen", pa.int64()),
+                pa.field("docids", pa.binary()),
+                pa.field("tfs", pa.binary()),
+                pa.field("doclens", pa.binary()),
+                pa.field("positions", pa.binary()),
+            ]
+        )
+    return _PACKED_ARROW
+
+
+def make_merge_partition(n_salts: int, max_docid: int, block_size: int):
+    """mapInArrow kernel: one shuffle PARTITION of segment rows (already
+    co-partitioned by (term, field, salt) via repartition) -> packed block
+    rows for every group in it.
+
+    Replaces the per-group applyInPandas formulation: Spark materialized each
+    of the ~6k (term,field,salt) groups as its own Arrow batch + pandas frame
+    (per-group JVM<->Python conversion dominated the merge stage); here the
+    partition streams through as a handful of Arrow batches and the group
+    split is an in-kernel pandas groupby over bytes columns."""
+    import pyarrow as pa
+
+    merge_group = make_merge_group(n_salts, max_docid, block_size)
+    schema = _packed_arrow_schema()
+
+    def merge_partition(batches):
+        bl = list(batches)
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        if tbl.num_rows == 0:
+            return
+        pdf = tbl.to_pandas()
+        outs = [
+            merge_group(g)
+            for _, g in pdf.groupby(["term", "field", "salt"], sort=False)
+        ]
+        res = pd.concat(outs, ignore_index=True)
+        out_tbl = pa.Table.from_pandas(res, schema=schema, preserve_index=False)
+        yield from out_tbl.to_batches(max_chunksize=4096)
+
+    return merge_partition
 
 
 # --------------------------------------------------------------------------
@@ -307,7 +651,7 @@ def build_persistent_index(
     # config echo and the keys-only input fingerprint are recomputed and
     # compared, so resuming with a changed corpus or different BuildConfig
     # fails loudly instead of silently mixing stale and fresh stages.
-    if resume and man.stage_done("doc_ids"):
+    if resume and man.stage_done("segments"):
         lin = man.data["lineage"]
         mism = [k for k, v in config_echo.items() if lin.get(k) != v]
         if mism:
@@ -329,34 +673,6 @@ def build_persistent_index(
                 " — the corpus changed; pass resume=False to rebuild"
             )
 
-    # ---- stage: doc_ids + lineage (ONE observed job) --------------------
-    # The doc-count and the order-independent keys fingerprint ride the
-    # doc_ids write as Observation metrics — no separate count/agg jobs
-    # (the r01 build spent ~3 jobs of fixed orchestration here). Keys only:
-    # content integrity is covered by the per-row sha256(content) invariant
-    # in the pytest gate.
-    if not man.stage_done("doc_ids"):
-        t_stage = time.time()
-        obs = Observation("lineage")
-        (
-            docs.select("docid", "ext_docid")
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n_docs"),
-                F.bit_xor(F.xxhash64("ext_docid")).alias("fp"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{out}/doc_ids")
-        )
-        m = obs.get
-        n_docs = int(m["n_docs"])
-        fp = f"{m['fp']:x}" if n_docs else "empty"
-        man.set_lineage(n_docs=n_docs, input_fingerprint=fp, **config_echo)
-        man.mark_stage(
-            "doc_ids", docs_seen=n_docs,
-            doc_ids_sec=round(time.time() - t_stage, 2),
-        )
-
     # ---- stage: per-partition packed SEGMENTS ---------------------------
     # The Lucene-style segment pass (north-star: "build per-partition sorted
     # posting lists, merge segment postings into a global inverted index").
@@ -369,12 +685,24 @@ def build_persistent_index(
     # Docids are contiguous per input partition (range-assigned at ingest),
     # so segments have globally DISJOINT docid ranges: the merge phase is a
     # concatenation in min_docid order, never an interleave.
+    # Lineage (doc count + order-independent keys fingerprint) rides the
+    # SAME job as Observation metrics on the input scan — zero extra jobs.
+    # Keys only: content integrity is covered by the per-row sha256(content)
+    # invariant in the pytest gate. doc_ids need no scan of their own either:
+    # the kernels emit per-chunk (docid, ext_docid) marker rows (bucket=-1)
+    # that the stats stage decodes.
     if not man.stage_done("segments"):
         t_stage = time.time()
-        segs = _segment_rows(docs, cfg)
+        obs = Observation("lineage")
+        observed = docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor(F.xxhash64("ext_docid")).alias("fp"),
+        )
+        segs = segment_rows(observed, cfg)
         segs = segs.withColumn(
             "bucket",
-            F.when(F.col("term") == DOCSTATS_MARKER, F.lit(-1)).otherwise(
+            F.when(F.col("term").isin(MARKER_TERMS), F.lit(-1)).otherwise(
                 _bucket_col(F.col("term"), cfg.n_buckets)
             ),
         )
@@ -383,20 +711,28 @@ def build_persistent_index(
         segs.write.mode("overwrite").partitionBy("bucket").parquet(
             f"{out}/segments"
         )
+        m = obs.get
+        n_docs = int(m["n_docs"])
+        fp = f"{m['fp']:x}" if n_docs else "empty"
+        man.set_lineage(n_docs=n_docs, input_fingerprint=fp, **config_echo)
         man.mark_stage(
             "segments",
-            # tokenized == ingested: zero-token docs emit no rows but are
-            # still consumed by the pass; counted once in the lineage stage
-            docs_tokenized=man.data["lineage"]["n_docs"],
+            docs_tokenized=n_docs,
             segments_sec=round(time.time() - t_stage, 2),
         )
 
     segments = spark.read.parquet(f"{out}/segments")
 
-    # ---- stage: doc_stats + term_stats + corpus_stats -------------------
+    # ---- stage: doc_ids + doc_stats + term_stats + corpus_stats ---------
+    # Three small independent writes over the segments table, submitted
+    # CONCURRENTLY (Spark schedules the jobs side by side): doc_ids and
+    # doc_stats decode only the tiny marker partition (bucket=-1), term_stats
+    # aggregates segment metadata columns. Corpus aggregates and row counts
+    # ride the writes as Observation metrics — no read-back jobs.
     if not man.stage_done("stats"):
         t_stage = time.time()
-        # doc_stats decodes only the tiny marker rows (partition bucket=-1)
+        markers = segments.where(F.col("bucket") == -1)
+
         ds_schema = "docid long, field string, doclen long"
 
         def decode_docstats(batches):
@@ -426,6 +762,28 @@ def build_persistent_index(
                     )
                 )
 
+        def decode_docids(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    d = np.frombuffer(row.docids, dtype="<i8")
+                    exts = row.positions.decode("utf-8").split("\x00")
+                    outs.append(
+                        pd.DataFrame(
+                            {"docid": d.astype("int64"), "ext_docid": exts}
+                        )
+                    )
+                yield (
+                    pd.concat(outs, ignore_index=True)
+                    if outs
+                    else pd.DataFrame(
+                        {
+                            "docid": pd.Series([], dtype="int64"),
+                            "ext_docid": pd.Series([], dtype="object"),
+                        }
+                    )
+                )
+
         # per-field corpus aggregates ride the doc_stats write as Observation
         # metrics (fields are known from cfg, so a flat conditional aggregate
         # replaces the groupBy + a second read-back job over doc_stats)
@@ -439,29 +797,52 @@ def build_persistent_index(
             ds_metrics.append(
                 F.sum(F.when(is_f, F.col("doclen")).otherwise(0)).alias(f"len__{fld}")
             )
-        doc_stats = (
-            segments.where(F.col("bucket") == -1)
-            .select("field", "n", "docids", "doclens")
-            .mapInPandas(decode_docstats, ds_schema)
-            .observe(ds_obs, *ds_metrics)
-        )
-        doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
-        dm = ds_obs.get
-
-        # term_stats is a plain aggregation over segment METADATA columns
         ts_obs = Observation("n_terms")
-        term_stats = (
-            segments.where(F.col("bucket") >= 0)
-            .groupBy("term", "field")
-            .agg(
-                F.sum("n").cast("long").alias("df"),
-                F.sum("ctf_part").cast("long").alias("ctf"),
-            )
-            .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
-            .observe(ts_obs, F.count(F.lit(1)).alias("n"))
-        )
-        term_stats.write.mode("overwrite").parquet(f"{out}/term_stats")
 
+        def write_doc_stats():
+            (
+                markers.where(F.col("term") == DOCSTATS_MARKER)
+                .select("field", "n", "docids", "doclens")
+                .mapInPandas(decode_docstats, ds_schema)
+                .observe(ds_obs, *ds_metrics)
+                .write.mode("overwrite")
+                .parquet(f"{out}/doc_stats")
+            )
+
+        def write_doc_ids():
+            (
+                markers.where(F.col("term") == DOCIDS_MARKER)
+                .select("docids", "positions")
+                .mapInPandas(decode_docids, "docid long, ext_docid string")
+                .write.mode("overwrite")
+                .parquet(f"{out}/doc_ids")
+            )
+
+        def write_term_stats():
+            (
+                segments.where(F.col("bucket") >= 0)
+                .groupBy("term", "field")
+                .agg(
+                    F.sum("n").cast("long").alias("df"),
+                    F.sum("ctf_part").cast("long").alias("ctf"),
+                )
+                .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
+                .observe(ts_obs, F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(f"{out}/term_stats")
+            )
+
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=3) as pool:
+            futs = [
+                pool.submit(f)
+                for f in (write_doc_stats, write_doc_ids, write_term_stats)
+            ]
+            for fut in futs:
+                fut.result()
+
+        dm = ds_obs.get
         by_field = {}
         for fld in sorted(cfg.fields):
             n_f = int(dm[f"n__{fld}"] or 0)
@@ -487,79 +868,13 @@ def build_persistent_index(
 
     # ---- per-bucket packed postings build (segment MERGE phase) ---------
     tstats = spark.read.parquet(f"{out}/term_stats")
-
-    def _gather_runs(flat: np.ndarray, lengths: np.ndarray, order: np.ndarray) -> np.ndarray:
-        """Reorder a flat array of variable-length runs (run i has
-        lengths[i] elements) into run order `order` — fully vectorized."""
-        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        Ln = lengths[order]
-        total = int(Ln.sum())
-        if total == 0:
-            return flat[:0]
-        out_off = np.repeat(np.concatenate(([0], np.cumsum(Ln)[:-1])), Ln)
-        idx = np.repeat(starts[order], Ln) + (np.arange(total) - out_off)
-        return flat[idx]
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One (term, field, salt) group of SEGMENT rows -> final packed
-        block rows. Segments carry globally-disjoint docid ranges, so the
-        merge is: order by min_docid, decode, concatenate, keep only this
-        salt's docid range (heavy terms only), re-cut into block_size
-        blocks. All numpy; no per-posting Python objects."""
-        pdf = pdf.sort_values("min_docid")
-        term = pdf["term"].iloc[0]
-        fld = pdf["field"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        salted = bool(pdf["salted"].iloc[0])
-        dd_, tt_, ll_, pp_ = [], [], [], []
-        for row in pdf.itertuples(index=False):
-            d = np.frombuffer(row.docids, dtype="<i8").astype(np.int64)
-            t = np.frombuffer(row.tfs, dtype="<i4").astype(np.int64)
-            L = np.frombuffer(row.doclens, dtype="<i8").astype(np.int64)
-            P = np.frombuffer(row.positions, dtype="<i4").astype(np.int64)
-            if salted:
-                mask = (d * n_salts) // (max_docid + 1) == salt
-                if not mask.all():
-                    keep = np.flatnonzero(mask)
-                    P = _gather_runs(P, t, keep)
-                    d, t, L = d[keep], t[keep], L[keep]
-            if d.size:
-                dd_.append(d), tt_.append(t), ll_.append(L), pp_.append(P)
-        if not dd_:
-            return pd.DataFrame(
-                {f.name: pd.Series([], dtype="object") for f in PACKED_SCHEMA.fields}
-            ).astype({"salt": "int32", "block_id": "int32", "n": "int32",
-                      "min_docid": "int64", "max_docid": "int64",
-                      "max_tf": "int32", "min_doclen": "int64"}, errors="ignore")
-        d_all = np.concatenate(dd_)
-        t_all = np.concatenate(tt_)
-        l_all = np.concatenate(ll_)
-        p_all = np.concatenate(pp_)
-        # segment ranges are usually disjoint-and-ordered, but the docid
-        # assignment's pid-hash shuffle can interleave ranges within a task
-        # — merge with an explicit sort (each docid occurs exactly once per
-        # term, so this is a permutation, never a combine)
-        if not np.all(np.diff(d_all) > 0):
-            order = np.argsort(d_all, kind="stable")
-            p_all = _gather_runs(p_all, t_all, order)
-            d_all, t_all, l_all = d_all[order], t_all[order], l_all[order]
-        blocks = encode_blocks(
-            d_all, t_all, l_all, block_size=block_size, pos_flat=p_all
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "term": term, "field": fld, "salt": salt,
-                    "block_id": b["block_id"], "n": b["n"],
-                    "min_docid": b["min_docid"], "max_docid": b["max_docid"],
-                    "max_tf": b["max_tf"], "min_doclen": b["min_doclen"],
-                    "docids": b["docids"], "tfs": b["tfs"],
-                    "doclens": b["doclens"], "positions": b["positions"],
-                }
-                for b in blocks
-            ],
-            columns=[f.name for f in PACKED_SCHEMA.fields],
-        )
+    merge_partition = make_merge_partition(n_salts, max_docid, block_size)
+    # merge parallelism: partitions hold complete (term,field,salt) groups
+    # (repartition hashes the full group key); sized to ~2 waves per core
+    # locally — at cluster scale set it to segment-bytes / ~128MB
+    merge_parts = cfg.merge_partitions or max(
+        2 * spark.sparkContext.defaultParallelism, cfg.n_buckets
+    )
 
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -608,9 +923,9 @@ def build_persistent_index(
                 ),
             )
         )
-        packed = joined.groupBy("term", "field", "salt").applyInPandas(
-            merge_group, PACKED_SCHEMA
-        )
+        packed = joined.repartition(
+            max(merge_parts // cfg.n_buckets, 2), "term", "field", "salt"
+        ).mapInArrow(merge_partition, PACKED_SCHEMA)
         packed.write.mode("overwrite").parquet(f"{out}/packed/bucket={b}")
         return 0
 
@@ -640,8 +955,8 @@ def build_persistent_index(
         pk_obs = Observation("packed_blocks")
         packed = (
             joined.drop("bucket")
-            .groupBy("term", "field", "salt")
-            .applyInPandas(merge_group, PACKED_SCHEMA)
+            .repartition(merge_parts, "term", "field", "salt")
+            .mapInArrow(merge_partition, PACKED_SCHEMA)
             .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
             .observe(pk_obs, F.count(F.lit(1)).alias("n"))
         )

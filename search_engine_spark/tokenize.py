@@ -69,6 +69,26 @@ class Tokenizer:
             pred = lambda x: x != F.lit("")  # noqa: E731
         return F.filter(arr, pred)
 
+    # ---- pyarrow.compute twin (segment-kernel hot path) ----
+    def tokens_arrow(self, arr):
+        """``pa.Array[str] -> pa.ListArray[str]`` of tokens BEFORE the
+        empty/stopword filter (the filter happens code-side in the segment
+        kernel, where dropped tokens also vacate their positions).
+
+        Uses ``utf8_lower`` + ``split_pattern_regex`` (RE2) — equality with
+        the Python twin ``tokenize`` is asserted in tests/test_corpus.py
+        over the synthetic corpus and adversarial strings. RE2's ``\\s`` is
+        ASCII-only while Python's is Unicode-aware, so the whitespace
+        tokenizer's twin test covers unicode spaces; the code tokenizer's
+        class ``[^0-9A-Za-z_]+`` is ASCII-negated on both engines."""
+        import pyarrow.compute as pc
+
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        if self.lowercase:
+            arr = pc.utf8_lower(arr)
+        return pc.split_pattern_regex(arr, self.split_pattern)
+
     # ---- Arrow-vectorized pandas UDF variant ----
     def tokens_pandas_udf(self):
         import pandas as pd  # noqa: F401
