@@ -38,6 +38,8 @@ HEADLINE = [
     "indri_and_topk",
     "indri_wand_topk",
     "indri_wsum_topk",
+    "prf_term_weights",
+    "letor_rerank_topk",
 ]
 
 
@@ -46,10 +48,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
+    # the bench runs the PRODUCTION build path: persistent segment-
+    # architecture index + PackedIndex query side (rank-identical to the
+    # in-memory path — tests/test_index_format.py)
+    dq.USE_PACKED = os.environ.get("SPARK_GRAFT_PACKED", "1") == "1"
+
     spark = get_spark("bench", cores=cpus)
     t_start = time.time()
 
-    # index build (tokenize -> forward index -> stats), timed to first reuse
+    # index build (segment pass + merge + stats), timed end-to-end
     t0 = time.time()
     idx = dq.load_documents_index(spark, sf_dir)
     n_files = idx.corpus.n_docs

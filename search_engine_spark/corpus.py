@@ -202,20 +202,23 @@ def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
 
     ext id = ``repo:path@commit`` (SURVEY.md §1.1); docid = dense row number
     over the natural key — assigned ONCE at ingest, deterministic for a
-    given table.
+    given table (docid = global rank of the key, independent of the
+    partition count).
 
-    Scalable assignment (no single-partition global window): range-partition
-    + sort by the key, local row_number per partition, then add the
-    per-partition offsets (a tiny driver-side cumulative sum). Identical ids
-    to a global row_number, but every stage stays parallel — the global
-    window version collapses the whole corpus into one task, which is what
-    kills 100 TB runs (and scaling efficiency even at 20k files).
+    Scalable assignment with NO shuffle past the initial range partition:
+    range-partition + sort by the key once (persisted), count per partition,
+    then docid = partition offset + 0-based position within the (sorted)
+    partition via a NARROW mapInArrow pass. The previous formulation used
+    ``row_number() over (partition by _pid)`` — a Window whose partitionBy
+    inserted a full hash SHUFFLE of the corpus (content included) into
+    EVERY downstream action, and AQE coalesced that shuffle's output to ~4
+    partitions, capping the segment pass at 4 tasks regardless of cores.
     """
-    from pyspark.sql import Window
+    import pyarrow as pa
 
     keys = ["repo", "path", "commit"]
     sc = docs.sparkSession.sparkContext
-    partitions = partitions or max(sc.defaultParallelism * 2, 8)
+    partitions = partitions or max(sc.defaultParallelism * 4, 16)
 
     part = docs.repartitionByRange(partitions, *keys).sortWithinPartitions(
         *keys
@@ -232,14 +235,35 @@ def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     off_df = docs.sparkSession.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy(*keys)
-    return (
-        part.join(F.broadcast(off_df), "_pid")
-        .select(
-            (F.row_number().over(w) + F.col("_off")).cast("long").alias("docid"),
-            F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
-                        F.lit("@"), F.col("commit")).alias("ext_docid"),
-            "repo", "path", "commit", "lang", "content",
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
-        )
+    with_off = part.join(F.broadcast(off_df), "_pid")
+
+    in_cols = ["_off", "repo", "path", "commit", "lang", "content"]
+    out_schema = "docid long, repo string, path string, commit string, lang string, content string"
+
+    def assign(batches):
+        # one task == one partition: a running counter over its (sorted)
+        # rows + the broadcast offset gives the global 1-based rank
+        i = 0
+        for rb in batches:
+            tbl = pa.table(rb)
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            import numpy as np
+
+            off = tbl.column("_off")[0].as_py()
+            ids = pa.array(np.arange(off + i + 1, off + i + n + 1, dtype=np.int64))
+            i += n
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [tbl.column(c).combine_chunks() for c in in_cols[1:]],
+                names=["docid"] + in_cols[1:],
+            )
+
+    assigned = with_off.select(*in_cols).mapInArrow(assign, out_schema)
+    return assigned.select(
+        "docid",
+        F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
+                    F.lit("@"), F.col("commit")).alias("ext_docid"),
+        "repo", "path", "commit", "lang", "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
     )

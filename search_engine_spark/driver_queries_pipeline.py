@@ -328,30 +328,100 @@ _register("ann_cosine_topk", _q_ann_topk, _sql_ann())
 
 
 def _q_ivf_topk(spark, sf_dir):
-    # KMeans isn't SQL-expressible -> rows-only driver check; exactness vs
-    # brute force is asserted in tests/test_pipeline.py (full-probe == brute)
+    # FULL-probe configuration (n_probe == n_cells): the IVF result is then
+    # provably the exact brute-force top-k REGARDLESS of the KMeans cell
+    # assignment, so the brute-force SQL oracle applies bitwise. The pruned
+    # n_probe < n_cells path (the scale behavior) is exercised by
+    # tests/test_pipeline.py recall assertions.
     idx = sim.IvfIndex.build(_embs(spark, sf_dir), n_cells=8)
-    return idx.search(ANN_QVEC, ANN_K, n_probe=4)
+    out = idx.search(ANN_QVEC, ANN_K, n_probe=8)
+    return out.select(
+        "rank", "id", F.col("cosine").cast("float").cast("double").alias("cosine")
+    )
 
 
-_register("ivf_cosine_topk", _q_ivf_topk, None)
+_register("ivf_cosine_topk", _q_ivf_topk, _sql_ann())
 
 
 # -- embedding cosine near-dup pairs ----------------------------------------
 
+EMB_DUP_STRIDE = 25       # every 25th vector gets a planted near-duplicate
+EMB_DUP_OFFSET = 1_000_000
+EMB_TAU = 0.9
+
+
+def _planted_embs(spark, sf_dir):
+    """Embeddings + planted near-duplicates: every EMB_DUP_STRIDE-th vector
+    is copied under a shifted id with a tiny deterministic per-component
+    perturbation (cosine ≈ 1-1e-6 ≫ τ), so the near-dup operator has known
+    answers (the r01 entry returned 0 rows — vacuously true)."""
+    e = _embs(spark, sf_dir)
+    pert = (
+        e.where(F.col("vec_id") % EMB_DUP_STRIDE == 0)
+        # rename first: a same-select alias of vec_id would otherwise
+        # capture the lambda's vec_id via lateral column alias resolution
+        .select(F.col("vec_id").alias("_vid0"), "embedding")
+        .select(
+            (F.col("_vid0") + EMB_DUP_OFFSET).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x.cast("double")
+                    + (
+                        ((F.col("_vid0") + F.lit(EMB_DUP_OFFSET)) * 31 + i) % 7 - 3
+                    ).cast("double")
+                    * F.lit(1e-4)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    return e.select("vec_id", "embedding").unionByName(pert)
+
 
 def _q_emb_near_dups(spark, sf_dir):
     out = sim.embedding_near_dups(
-        _embs(spark, sf_dir), ANN_DIM, threshold=0.9
+        _planted_embs(spark, sf_dir), ANN_DIM, threshold=EMB_TAU
     )
     return out.select(
         "id_a", "id_b", F.col("cosine").cast("float").cast("double").alias("cosine")
     )
 
 
-_register("embedding_near_dups", _q_emb_near_dups, None)  # sketch uses seeded
-# python hyperplanes; SQL twin would duplicate 16x64 literals — covered by
-# tests/test_pipeline.py recall/verify instead
+def _sql_emb_near_dups() -> str:
+    """Brute-force all-pairs cosine ≥ τ over the same planted set — equality
+    with the Spark LSH-bucketed path doubles as a 100%-recall check of the
+    sign-sketch at this τ on this data."""
+    pert_elem = (
+        "(embedding[i]::DOUBLE + "
+        f"(((vec_id + {EMB_DUP_OFFSET}) * 31 + (i - 1)) % 7 - 3)::DOUBLE * 1e-4)::REAL"
+    )
+    dot_ab = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, [a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE"
+        f" FOR i IN range(1, {ANN_DIM} + 1)]), (x, v) -> x + v)"
+    )
+
+    def nrm(side):
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, [{side}.embedding[i]::DOUBLE * {side}.embedding[i]::DOUBLE"
+            f" FOR i IN range(1, {ANN_DIM} + 1)]), (x, v) -> x + v))"
+        )
+
+    cos = f"({dot_ab} / ({nrm('a')} * {nrm('b')}))"
+    return f"""
+WITH planted AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT (vec_id + {EMB_DUP_OFFSET})::BIGINT,
+         [{pert_elem} FOR i IN range(1, {ANN_DIM} + 1)]
+  FROM embeddings WHERE vec_id % {EMB_DUP_STRIDE} = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(CAST({cos} AS REAL) AS DOUBLE) AS cosine
+FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+WHERE {cos} >= {EMB_TAU!r}"""
+
+
+_register("embedding_near_dups", _q_emb_near_dups, _sql_emb_near_dups())
 
 
 # -- text analysis ----------------------------------------------------------

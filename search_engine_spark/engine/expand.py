@@ -58,11 +58,46 @@ class FbParams:
             raise ValueError("fbOrigWeight must be in [0,1]")
 
 
-def learned_query(eng: Engine, query: str, p: FbParams, fld: str = "body") -> str | None:
+def learned_query(
+    eng: Engine,
+    query: str,
+    p: FbParams,
+    fld: str = "body",
+    initial: list[tuple[int, str, float]] | None = None,
+) -> str | None:
     """Initial retrieval -> RM term weights -> ``#WAND (w t ...)`` string.
     Returns None when the original query matches nothing (the reference
-    then echoes the original query, QryEval.java:779-784)."""
-    top = eng.search(query, p.fb_docs).collect()
+    then echoes the original query, QryEval.java:779-784).
+
+    ``initial``: optional [(docid, ext_docid, score)] from a prior TREC run
+    (the fbInitialRankingFile source, QryEval.java:618-657 — see
+    engine/sources.py); replaces the first retrieval round, re-sorted
+    desc-score/asc-extid like the evaluated path."""
+    scored = rm_term_weights(eng, query, p, fld, initial=initial)
+    if scored is None:
+        return None
+    scored.sort(key=lambda ts: (-ts[1], ts[0]))
+    chosen = scored[: p.fb_terms]
+    # ascending-score emission order (QryEval.java:920 loop runs fbTerms-1..0)
+    parts = [f"{s:.4f} {t}" for t, s in reversed(chosen)]
+    return "#WAND (" + " ".join(parts) + " )"
+
+
+def rm_term_weights(
+    eng: Engine,
+    query: str,
+    p: FbParams,
+    fld: str = "body",
+    initial: list[tuple[int, str, float]] | None = None,
+) -> list[tuple[str, float]] | None:
+    """ALL candidate expansion terms with their Indri RM weights (the
+    aggregation of QryEval.java:851-901, before the top-fbTerms cut of
+    :907-926). None when the initial retrieval is empty."""
+    if initial is not None:
+        ordered = sorted(initial, key=lambda t: (-t[2], t[1]))[: p.fb_docs]
+        top = [{"docid": d, "score": s} for d, _e, s in ordered]
+    else:
+        top = eng.search(query, p.fb_docs).collect()
     if not top:
         return None
     c_len = float(eng.index.corpus.sum_doclen(fld))
@@ -79,17 +114,17 @@ def learned_query(eng: Engine, query: str, p: FbParams, fld: str = "body") -> st
         doc_rows[d] / (doclens.get(d, 0) + p.fb_mu) for d in doc_rows
     )
 
-    # contains part: top-docs ⋈ doc_terms -> one aggregation by term
+    # contains part: top-docs' forward-index slice -> one aggregation by
+    # term. doc_terms_for works on BOTH index backends: the in-memory
+    # doc_terms filter and PackedIndex's block-pruned packed-postings decode
+    # (hw5/QryEval/TermVector.java random access analog).
     wmap = {d: doc_rows[d] / (doclens.get(d, 0) + p.fb_mu) for d in doc_rows}
-    w_df = eng.index.doc_terms.sparkSession.createDataFrame(
+    w_df = eng.index.doc_stats.sparkSession.createDataFrame(
         [(d, w) for d, w in wmap.items()], "docid long, _w double"
     )
     cand = (
-        eng.index.doc_terms.where(
-            (F.col("field") == fld)
-            & F.col("docid").isin(list(doc_rows))
-            & ~F.col("term").rlike("[.,]")
-        )
+        eng.index.doc_terms_for(list(doc_rows), fld)
+        .where(~F.col("term").rlike("[.,]"))
         .join(F.broadcast(w_df), "docid")
         .groupBy("term")
         .agg(F.sum(F.col("tf") * F.col("_w")).alias("_contains"))
@@ -108,11 +143,7 @@ def learned_query(eng: Engine, query: str, p: FbParams, fld: str = "body") -> st
         idf = math.log(1.0 / ptc)
         score = r["_contains"] * idf + (p.fb_mu * ptc) * s_default * idf
         scored.append((t, score))
-    scored.sort(key=lambda ts: (-ts[1], ts[0]))
-    chosen = scored[: p.fb_terms]
-    # ascending-score emission order (QryEval.java:920 loop runs fbTerms-1..0)
-    parts = [f"{s:.4f} {t}" for t, s in reversed(chosen)]
-    return "#WAND (" + " ".join(parts) + " )"
+    return scored
 
 
 def expanded_query(orig: str, learned: str, p: FbParams) -> str:
@@ -122,11 +153,17 @@ def expanded_query(orig: str, learned: str, p: FbParams) -> str:
 
 
 def search_expanded(
-    eng: Engine, query: str, p: FbParams, k: int = 100, fld: str = "body"
+    eng: Engine,
+    query: str,
+    p: FbParams,
+    k: int = 100,
+    fld: str = "body",
+    initial: list[tuple[int, str, float]] | None = None,
 ):
     """Two-round PRF retrieval: returns (result_df_or_None, learned, expanded).
-    The model default wrap happens inside eng.search's parse."""
-    learned = learned_query(eng, query, p, fld)
+    The model default wrap happens inside eng.search's parse. ``initial``
+    short-circuits round one with a prior run file's ranking (S6)."""
+    learned = learned_query(eng, query, p, fld, initial=initial)
     if learned is None:
         return None, None, None
     exp = expanded_query(query, learned, p)

@@ -69,6 +69,22 @@ class IndexTables:
             (F.col("term") == term) & (F.col("field") == fld)
         )
 
+    def doc_terms_for(
+        self, docids, fld: str, with_positions: bool = False
+    ) -> DataFrame:
+        """Forward-index slice (TermVector analog, hw5/QryEval/TermVector
+        .java:19-89): (docid, field, term, tf[, positions]) for the given
+        docs. Backed by the materialized doc_terms here; PackedIndex
+        overrides with a block-pruned decode of the packed postings."""
+        if self.doc_terms is None:
+            raise ValueError("index has no forward index (doc_terms)")
+        cols = ["docid", "field", "term", "tf"]
+        if with_positions:
+            cols.append("positions")
+        return self.doc_terms.where(
+            (F.col("field") == fld) & F.col("docid").isin([int(d) for d in docids])
+        ).select(*cols)
+
     def postings_for(
         self, pairs, with_positions: bool = False, block_filter=None
     ) -> DataFrame:

@@ -149,6 +149,45 @@ def positions_encode_flat(flat: np.ndarray, lengths: np.ndarray) -> bytes:
     return varint_encode(d.astype(np.uint64))
 
 
+def positions_pack_flat(flat: np.ndarray, lengths: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """(varint stream, per-posting byte lengths) for a FLAT position array
+    with per-posting run lengths — one bulk encode; byte-identical to
+    concatenating ``positions_encode_flat`` per posting."""
+    flat = np.asarray(flat, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if flat.size == 0:
+        return b"", np.zeros(lengths.size, dtype=np.int64)
+    d = flat.copy()
+    d[1:] -= flat[:-1]
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    starts = starts[lengths > 0]
+    d[starts] = flat[starts]
+    if int(d.min()) < 0:
+        raise ValueError("positions must be ascending within each run")
+    data, off = _encode_with_offsets(d.astype(np.uint64))
+    ends = np.cumsum(lengths)
+    byte_lens = off[ends] - off[np.concatenate(([0], ends[:-1]))]
+    return data, byte_lens.astype(np.int64)
+
+
+def positions_byte_lengths(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Per-POSTING byte lengths of a positions varint stream (posting i has
+    tfs[i] values) WITHOUT decoding values: LEB128 value boundaries are the
+    bytes with the high bit clear."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n_vals = int(tfs.sum())
+    if n_vals == 0:
+        return np.zeros(tfs.size, dtype=np.int64)
+    ends = np.flatnonzero((b & 0x80) == 0) + 1  # byte index AFTER each value
+    if ends.size != n_vals:
+        raise ValueError(f"expected {n_vals} varints, found {ends.size}")
+    if not np.all(tfs > 0):
+        raise ValueError("postings must have tf >= 1")
+    post_ends = ends[np.cumsum(tfs) - 1]  # each posting's last value's end
+    return np.diff(np.concatenate(([0], post_ends)))
+
+
 def positions_decode(buf: bytes, tfs: np.ndarray) -> list:
     flat = varint_decode(buf)
     out = []
@@ -184,6 +223,7 @@ def encode_blocks(
     pos_lists: list | None = None,
     block_size: int = BLOCK_SIZE,
     pos_flat: np.ndarray | None = None,
+    pos_packed: tuple | None = None,
 ) -> list[dict]:
     """One (term, field) posting list -> list of block dicts:
     {block_id, n, min_docid, max_docid, max_tf, min_doclen,
@@ -228,6 +268,26 @@ def encode_blocks(
     t_bytes, t_off = _encode_with_offsets(t_stream)
     l_bytes, l_off = _encode_with_offsets(l_stream)
 
+    if pos_packed is not None:
+        # positions arrive ALREADY varint-encoded (per-posting delta runs —
+        # the segment-pass packing is bit-identical to what this function
+        # would produce, so the stream passes through untouched and is only
+        # SLICED at block boundaries by per-posting byte offsets)
+        p_bytes, p_lens = pos_packed
+        p_bytes = bytes(p_bytes)
+        p_post_off = np.concatenate(([0], np.cumsum(np.asarray(p_lens, np.int64))))
+        blocks = []
+        d_meta = _block_meta(docids, tfs, doclens, bstarts, bends)
+        for bi in range(bstarts.size):
+            a, b = int(bstarts[bi]), int(bends[bi])
+            blk = d_meta[bi]
+            blk["docids"] = d_bytes[int(d_off[a]) : int(d_off[b])]
+            blk["tfs"] = t_bytes[int(t_off[a]) : int(t_off[b])]
+            blk["doclens"] = l_bytes[int(l_off[a]) : int(l_off[b])]
+            blk["positions"] = p_bytes[int(p_post_off[a]) : int(p_post_off[b])]
+            blocks.append(blk)
+        return blocks
+
     if pos_flat is not None and pos_flat.size:
         pos_flat = np.asarray(pos_flat, dtype=np.int64)
         # per-posting delta gaps (first absolute per posting run)
@@ -248,30 +308,35 @@ def encode_blocks(
         blk_p_lo = blk_p_hi = np.zeros(bstarts.size, dtype=np.int64)
         p_off = np.zeros(1, dtype=np.int64)
 
-    # per-block metadata via reduceat on the posting arrays
-    max_tf = np.maximum.reduceat(tfs, bstarts)
-    min_dl = np.minimum.reduceat(doclens, bstarts)
-
     blocks = []
+    d_meta = _block_meta(docids, tfs, doclens, bstarts, bends)
     for bi in range(bstarts.size):
         a, b = int(bstarts[bi]), int(bends[bi])
-        blocks.append(
-            {
-                "block_id": bi,
-                "n": b - a,
-                "min_docid": int(docids[a]),
-                "max_docid": int(docids[b - 1]),
-                "max_tf": int(max_tf[bi]),
-                "min_doclen": int(min_dl[bi]),
-                "docids": d_bytes[int(d_off[a]) : int(d_off[b])],
-                "tfs": t_bytes[int(t_off[a]) : int(t_off[b])],
-                "doclens": l_bytes[int(l_off[a]) : int(l_off[b])],
-                "positions": p_bytes[
-                    int(p_off[int(blk_p_lo[bi])]) : int(p_off[int(blk_p_hi[bi])])
-                ],
-            }
-        )
+        blk = d_meta[bi]
+        blk["docids"] = d_bytes[int(d_off[a]) : int(d_off[b])]
+        blk["tfs"] = t_bytes[int(t_off[a]) : int(t_off[b])]
+        blk["doclens"] = l_bytes[int(l_off[a]) : int(l_off[b])]
+        blk["positions"] = p_bytes[
+            int(p_off[int(blk_p_lo[bi])]) : int(p_off[int(blk_p_hi[bi])])
+        ]
+        blocks.append(blk)
     return blocks
+
+
+def _block_meta(docids, tfs, doclens, bstarts, bends) -> list[dict]:
+    max_tf = np.maximum.reduceat(tfs, bstarts)
+    min_dl = np.minimum.reduceat(doclens, bstarts)
+    return [
+        {
+            "block_id": bi,
+            "n": int(bends[bi] - bstarts[bi]),
+            "min_docid": int(docids[int(bstarts[bi])]),
+            "max_docid": int(docids[int(bends[bi]) - 1]),
+            "max_tf": int(max_tf[bi]),
+            "min_doclen": int(min_dl[bi]),
+        }
+        for bi in range(bstarts.size)
+    ]
 
 
 def decode_block(block: dict, with_positions: bool = False):

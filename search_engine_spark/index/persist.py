@@ -66,7 +66,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from search_engine_spark.index.build import CorpusStats, IndexTables
-from search_engine_spark.index.codec import BLOCK_SIZE, encode_blocks
+from search_engine_spark.index.codec import (
+    BLOCK_SIZE,
+    encode_blocks,
+    positions_byte_lengths,
+    positions_pack_flat,
+)
 from search_engine_spark.tokenize import CODE_TOKENIZER, Tokenizer
 
 
@@ -111,9 +116,12 @@ META_COLS = [
     "min_docid", "max_docid", "max_tf", "min_doclen",
 ]
 
-# segment rows: one per (chunk, field, term) — a single varint-packed block
-# of that chunk's postings plus merge metadata. Marker rows (term =
-# DOCSTATS_MARKER) carry the chunk's (docid, doclen) pairs for doc_stats.
+# segment rows: one per (chunk, field, term) — that chunk's postings plus
+# merge metadata. docids/tfs/doclens are raw LE ints (decoded by the merge
+# anyway); positions are ALREADY the final per-posting varint-delta format
+# (v2) so the merge slices bytes instead of re-encoding the largest stream.
+# Marker rows (bucket=-1) carry per-chunk (docid, doclen) pairs for
+# doc_stats and (docid, ext_docid) pairs for doc_ids.
 SEGMENT_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -138,7 +146,8 @@ DOCSTATS_MARKER = "\x00docstats"
 # must stay complete), so the doc_ids table needs no separate docs scan.
 DOCIDS_MARKER = "\x00docids"
 MARKER_TERMS = [DOCSTATS_MARKER, DOCIDS_MARKER]
-SEGMENT_CHUNK = 512  # docs per segment
+SEGMENT_CHUNK = 512  # docs per segment (python reference kernel)
+ARROW_CHUNK_DOCS = 4096  # docs per segment chunk (arrow kernel)
 
 
 def _segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
@@ -192,12 +201,15 @@ def _segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
                     d = np.asarray(d_, dtype="<i8")
                     tf = np.asarray(t_, dtype="<i4")
                     L = np.asarray(l_, dtype="<i8")
+                    pos_bytes, _ = positions_pack_flat(
+                        np.asarray(p_, dtype=np.int64), tf.astype(np.int64)
+                    )
                     rows.append(
                         (
                             t, fld, int(d.size), int(d[0]), int(d[-1]),
                             int(tf.max()), int(L.min()), int(tf.sum()),
                             d.tobytes(), tf.tobytes(), L.tobytes(),
-                            np.asarray(p_, dtype="<i4").tobytes(),
+                            pos_bytes,
                         )
                     )
                 md = np.asarray(ds_ids, dtype="<i8")
@@ -330,7 +342,12 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         tf = np.diff(np.append(run_start, ks.size)).astype(np.int64)
         run_docid = docid_by_rank[run_drank]
         run_doclen = kept_by_rank[run_drank].astype(np.int64)
-        pos_sorted = pos_f[order].astype("<i4")
+        # positions leave the segment pass ALREADY varint-delta-encoded
+        # (bit-identical to the final block format, so the merge phase
+        # slices bytes instead of re-encoding the largest stream) — this
+        # cut the segments table ~3x, and segment+merge I/O with it
+        pos_bytes_all, post_byte_lens = positions_pack_flat(pos_f[order], tf)
+        post_byte_off = np.concatenate(([0], np.cumsum(post_byte_lens)))
 
         # term runs over the posting arrays
         t_start = np.flatnonzero(
@@ -340,7 +357,6 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         max_tf = np.maximum.reduceat(tf, t_start)
         min_dl = np.minimum.reduceat(run_doclen, t_start)
         ctf = np.add.reduceat(tf, t_start)
-        pos_cum = np.concatenate(([0], np.cumsum(tf)))
 
         d_le = run_docid.astype("<i8")
         t_le = tf.astype("<i4")
@@ -355,7 +371,7 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
                     int(max_tf[j]), int(min_dl[j]), int(ctf[j]),
                     d_le[a:b].tobytes(), t_le[a:b].tobytes(),
                     l_le[a:b].tobytes(),
-                    pos_sorted[int(pos_cum[a]) : int(pos_cum[b])].tobytes(),
+                    pos_bytes_all[int(post_byte_off[a]) : int(post_byte_off[b])],
                 )
             )
         # doc-stats marker row (docs with zero post-filter tokens excluded,
@@ -374,8 +390,22 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         return rows
 
     def gen(batches):
-        for rb in batches:
-            tbl = pa.table(rb)
+        # coalesce incoming Arrow batches (maxRecordsPerBatch-sized) into
+        # ~ARROW_CHUNK_DOCS-doc chunks: amortizes per-chunk numpy overhead
+        # and emits fewer, larger segments for the merge phase
+        def chunks():
+            buf: list = []
+            n = 0
+            for rb in batches:
+                buf.append(rb)
+                n += rb.num_rows
+                if n >= ARROW_CHUNK_DOCS:
+                    yield pa.Table.from_batches(buf)
+                    buf, n = [], 0
+            if buf:
+                yield pa.Table.from_batches(buf)
+
+        for tbl in chunks():
             docid_np = tbl.column("docid").to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
@@ -444,9 +474,11 @@ def make_merge_group(n_salts: int, max_docid: int, block_size: int):
         fld = pdf["field"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
         salted = bool(pdf["salted"].iloc[0])
-        dd_, tt_, ll_, pp_ = [], [], [], []
+        dd_, tt_, ll_, pp_, pl_ = [], [], [], [], []
         # zero-copy views over the raw segment payloads ("<i8"/"<i4" are
-        # native LE on every supported platform — no astype copies)
+        # native LE on every supported platform — no astype copies).
+        # positions stay ENCODED (varint streams): the merge only ever
+        # slices/permutes them at posting granularity via byte lengths.
         for db, tb, lb, pb in zip(
             pdf["docids"].values, pdf["tfs"].values,
             pdf["doclens"].values, pdf["positions"].values,
@@ -454,15 +486,17 @@ def make_merge_group(n_salts: int, max_docid: int, block_size: int):
             d = np.frombuffer(db, dtype="<i8")
             t = np.frombuffer(tb, dtype="<i4")
             L = np.frombuffer(lb, dtype="<i8")
-            P = np.frombuffer(pb, dtype="<i4")
+            P = np.frombuffer(pb, dtype=np.uint8)
+            plen = positions_byte_lengths(pb, t.astype(np.int64))
             if salted:
                 mask = (d * n_salts) // (max_docid + 1) == salt
                 if not mask.all():
                     keep = np.flatnonzero(mask)
-                    P = _gather_runs(P, t.astype(np.int64), keep)
-                    d, t, L = d[keep], t[keep], L[keep]
+                    P = _gather_runs(P, plen, keep)
+                    d, t, L, plen = d[keep], t[keep], L[keep], plen[keep]
             if d.size:
-                dd_.append(d), tt_.append(t), ll_.append(L), pp_.append(P)
+                dd_.append(d), tt_.append(t), ll_.append(L)
+                pp_.append(P), pl_.append(plen)
         if not dd_:
             return pd.DataFrame(
                 {f.name: pd.Series([], dtype="object") for f in PACKED_SCHEMA.fields}
@@ -473,16 +507,19 @@ def make_merge_group(n_salts: int, max_docid: int, block_size: int):
         t_all = np.concatenate(tt_).astype(np.int64)  # int64: cumsum-safe
         l_all = np.concatenate(ll_)
         p_all = np.concatenate(pp_)
+        plen_all = np.concatenate(pl_)
         # segment ranges are usually disjoint-and-ordered, but the docid
         # assignment's pid-hash shuffle can interleave ranges within a task
         # — merge with an explicit sort (each docid occurs exactly once per
         # term, so this is a permutation, never a combine)
         if not np.all(np.diff(d_all) > 0):
             order = np.argsort(d_all, kind="stable")
-            p_all = _gather_runs(p_all, t_all, order)
+            p_all = _gather_runs(p_all, plen_all, order)
+            plen_all = plen_all[order]
             d_all, t_all, l_all = d_all[order], t_all[order], l_all[order]
         blocks = encode_blocks(
-            d_all, t_all, l_all, block_size=block_size, pos_flat=p_all
+            d_all, t_all, l_all, block_size=block_size,
+            pos_packed=(p_all, plen_all),
         )
         return pd.DataFrame(
             {
@@ -638,6 +675,7 @@ def build_persistent_index(
         man.data = {"stages": {}, "buckets": {}, "counters": {}, "lineage": {}}
 
     config_echo = {
+        "segment_format": 2,  # v2: positions varint-packed in segments
         "n_buckets": cfg.n_buckets,
         "block_size": cfg.block_size,
         "salt_threshold": cfg.salt_threshold,
@@ -1149,6 +1187,87 @@ class PackedIndex(IndexTables):
 
     def term_postings(self, term: str, fld: str) -> DataFrame:
         return self.postings_for([(term, fld)], with_positions=True)
+
+    # -- forward-index slice (TermVector analog) ---------------------------
+    def doc_terms_for(
+        self, docids, fld: str, with_positions: bool = False
+    ) -> DataFrame:
+        """Decode-on-demand forward index from the packed postings
+        (hw5/QryEval/TermVector.java:19-89 is random-access on the Lucene
+        index; here a docid-range-pruned scan). The scan keeps only blocks
+        whose [min_docid, max_docid] span intersects the requested ids —
+        parquet row-group min/max stats prune the rest — then the decode
+        kernel emits rows for the requested docids only. Cost is ~one block
+        per term per requested docid-cluster: the expected shape for
+        inverting an inverted index for a ≤fbDocs-sized doc set (PRF/LeToR),
+        not a full-corpus materialization."""
+        ids = sorted({int(d) for d in docids})
+        if not ids:
+            raise ValueError("empty docid set")
+        lo, hi = ids[0], ids[-1]
+        scan_cols = ["term", "field", "n", "docids", "tfs"]
+        if with_positions:
+            scan_cols.append("positions")
+        scan = self.packed.where(
+            (F.col("field") == fld)
+            & (F.col("min_docid") <= hi)
+            & (F.col("max_docid") >= lo)
+        ).select(*scan_cols)
+
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        out_fields = [
+            T.StructField("docid", T.LongType()),
+            T.StructField("field", T.StringType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+        ]
+        if with_positions:
+            out_fields.append(
+                T.StructField("positions", T.ArrayType(T.IntegerType()))
+            )
+
+        from search_engine_spark.index.codec import (
+            delta_decode, positions_decode, varint_decode,
+        )
+
+        def decode_iter(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    # decode docids/tfs only (doclens unused here)
+                    d = delta_decode(varint_decode(row.docids, row.n))
+                    mask = np.isin(d, ids_arr)
+                    if not mask.any():
+                        continue
+                    t = varint_decode(row.tfs, row.n).astype(np.int64)
+                    sel = np.flatnonzero(mask)
+                    frame = {
+                        "docid": pd.Series(d[sel], dtype="int64"),
+                        "field": row.field,
+                        "term": row.term,
+                        "tf": pd.Series(t[sel], dtype="int32"),
+                    }
+                    if with_positions:
+                        plists = positions_decode(row.positions, t)
+                        frame["positions"] = pd.Series(
+                            [plists[i].astype("int32") for i in sel],
+                            dtype="object",
+                        )
+                    outs.append(pd.DataFrame(frame))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+                else:
+                    empty = {
+                        "docid": pd.Series([], dtype="int64"),
+                        "field": pd.Series([], dtype="object"),
+                        "term": pd.Series([], dtype="object"),
+                        "tf": pd.Series([], dtype="int32"),
+                    }
+                    if with_positions:
+                        empty["positions"] = pd.Series([], dtype="object")
+                    yield pd.DataFrame(empty)
+
+        return scan.mapInPandas(decode_iter, T.StructType(out_fields))
 
 
 def _py_bucket(term: str, n_buckets: int) -> int:

@@ -1,27 +1,44 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schemas, partitioning-safe
-batch shapes, Arrow-friendly mapInPandas kernels; the actual media DECODE is
-stubbed (this container ships no image/audio libs). Each kernel:
+The Spark-side plumbing — schemas, partitioning-safe batch shapes,
+Arrow-friendly mapInPandas kernels, no driver collects — plus REAL decode
+where the container allows it with zero extra deps:
 
-- accepts/returns pandas DataFrames with explicit schemas (BinaryType for
-  payloads, struct-ish flat columns for metadata),
-- is deterministic: the "fake decode" derives features from a stable hash of
-  the payload bytes, so tests pin exact values and a later swap-in of a real
-  decoder (PIL/torchaudio/ffmpeg) changes ONLY the kernel body,
-- never collects to the driver; batch size is bounded by
-  spark.sql.execution.arrow.maxRecordsPerBatch.
+- **images**: payloads are real PNGs; decode/resize use the from-spec
+  stdlib codec in ``pipeline/png.py`` (PIL is tried first when installed);
+  features = per-grid-cell mean intensity of the decoded pixels.
+- **audio**: payloads are real 16-bit PCM WAV files; decode uses the stdlib
+  ``wave`` module; features = RMS / zero-crossing statistics of the samples.
+- **video**: no container/codec exists without ffmpeg, so frame sampling
+  keeps a clearly-marked deterministic stand-in payload (sha256 of
+  payload+timestamp) — the row shape (media_id, frame_idx, ts_ms, payload)
+  is the real contract. REAL DECODER HERE: ``ffmpeg -ss ts -frames:v 1``.
 
-Swap points are marked with `REAL DECODER HERE`.
+Undecodable payloads fall back to the deterministic digest features
+(``_stable_floats``) instead of failing the batch — a 100 TB media crawl
+always contains corrupt files, and a pipeline kernel must degrade per-row,
+not per-task.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import wave
+
+import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from search_engine_spark.pipeline.png import decode_png, encode_png
+
+try:  # optional: a real imaging lib takes over when present
+    from PIL import Image as _PIL_Image  # pragma: no cover - not in container
+except ImportError:
+    _PIL_Image = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -40,6 +57,18 @@ IMAGE_FEAT_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("feat", T.ArrayType(T.FloatType())),
         T.StructField("feat_dim", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("framerate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
@@ -61,57 +90,118 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+_AUDIO_RATE = 8000
+
+
+def _synth_image(i: int, w: int, h: int) -> bytes:
+    """Deterministic real PNG: per-pixel arithmetic noise (no RNG object
+    churn), RGB."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 7 + yy * 13 + i * 31) % 256
+    g = (xx * 3 + yy * 17 + i * 59) % 256
+    b = (xx * 11 + yy * 5 + i * 97) % 256
+    return encode_png(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+
+def _synth_wav(i: int, duration_ms: int) -> bytes:
+    """Deterministic real WAV: 16-bit PCM mono sine + harmonic."""
+    n = _AUDIO_RATE * duration_ms // 1000
+    t = np.arange(n, dtype=np.float64)
+    f0 = 110.0 * (1 + i % 8)
+    sig = 0.6 * np.sin(2 * math.pi * f0 * t / _AUDIO_RATE) + 0.3 * np.sin(
+        2 * math.pi * 2 * f0 * t / _AUDIO_RATE + i
+    )
+    pcm = (sig * 32767 / 2).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(_AUDIO_RATE)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
 
 def synth_media_df(spark, n: int = 32, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic media table with REAL payloads: PNG images, PCM WAV
+    audio; video payloads stay opaque seeded bytes (no codec available)."""
     import random
 
     rows = []
     for i in range(n):
-        rng = random.Random(f"media:{seed}:{i}")
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.randrange(256) for _ in range(64 + (i % 5) * 32))
-        rows.append(
-            (
-                i,
-                kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                payload,
-                64 + (i % 4) * 16 if kind != "audio" else None,
-                48 + (i % 3) * 16 if kind != "audio" else None,
-                1000 * (1 + i % 7) if kind != "image" else None,
-            )
-        )
+        w = 64 + (i % 4) * 16 if kind != "audio" else None
+        h = 48 + (i % 3) * 16 if kind != "audio" else None
+        dur = 1000 * (1 + i % 7) if kind != "image" else None
+        if kind == "image":
+            payload = _synth_image(i + seed, w, h)
+        elif kind == "audio":
+            payload = _synth_wav(i + seed, dur)
+        else:
+            rng = random.Random(f"media:{seed}:{i}")
+            payload = bytes(rng.randrange(256) for _ in range(64 + (i % 5) * 32))
+        mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
+        rows.append((i, kind, mime, payload, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def _stable_floats(payload: bytes, dim: int) -> list[float]:
-    """Deterministic pseudo-features from the payload digest."""
+    """Deterministic pseudo-features from the payload digest — the
+    corrupt-payload fallback."""
     out = []
-    h = payload or b""
+    h = bytes(payload or b"")
     while len(out) < dim:
         h = hashlib.sha256(h).digest()
         out.extend(b / 255.0 for b in h[:16])
     return [float(x) for x in out[:dim]]
 
 
+def _decode_image(payload: bytes) -> np.ndarray | None:
+    try:
+        if _PIL_Image is not None:
+            img = _PIL_Image.open(io.BytesIO(bytes(payload)))
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return decode_png(payload)
+    except Exception:
+        return None
+
+
+def grid_mean_features(img: np.ndarray, dim: int) -> list[float]:
+    """Per-grid-cell mean intensity over the grayscale image, dim cells —
+    a real (if simple) visual descriptor with a pinned definition."""
+    gray = img.astype(np.float64)
+    if gray.ndim == 3:
+        gray = gray.mean(axis=2)
+    h, w = gray.shape
+    cells = []
+    for j in range(dim):
+        y0, y1 = (j * h) // dim, max(((j + 1) * h) // dim, (j * h) // dim + 1)
+        cells.append(float(gray[y0:y1].mean() / 255.0))
+    return cells
+
+
 def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Decode + embed images -> float feature vectors (batched)."""
+    """Decode images (PNG codec / PIL) -> grid-mean feature vectors;
+    undecodable payloads get digest-fallback features with decoded=false."""
     import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
-            feats = [
-                # REAL DECODER HERE: PIL.Image.open(BytesIO(p)) -> model
-                _stable_floats(p, dim)
-                for p in pdf["payload"]
-            ]
+            feats, decoded = [], []
+            for p in pdf["payload"]:
+                img = _decode_image(p)
+                if img is None:
+                    feats.append(_stable_floats(p, dim))
+                    decoded.append(False)
+                else:
+                    feats.append(grid_mean_features(img, dim))
+                    decoded.append(True)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "feat": pd.Series(feats, dtype="object", index=pdf.index),
                     "feat_dim": pd.Series([dim] * len(pdf), dtype="int32", index=pdf.index),
+                    "decoded": pd.Series(decoded, dtype="bool", index=pdf.index),
                 }
             )
 
@@ -120,18 +210,73 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV audio (stdlib wave) -> sample stats; undecodable payloads
+    yield zeroed stats with decoded=false."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(p)), "rb") as wf:
+                        rate = wf.getframerate()
+                        pcm = np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2"
+                        ).astype(np.float64)
+                    rms = float(np.sqrt(np.mean(pcm**2))) if pcm.size else 0.0
+                    zcr = (
+                        float(np.mean(np.diff(np.signbit(pcm)).astype(np.float64)))
+                        if pcm.size > 1
+                        else 0.0
+                    )
+                    rows.append((mid, len(pcm), rate, rms, zcr, True))
+                except Exception:
+                    rows.append((mid, 0, 0, 0.0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "framerate", "rms",
+                    "zero_cross_rate", "decoded",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64", "n_samples": "int64",
+                    "framerate": "int32", "rms": "float64",
+                    "zero_cross_rate": "float64", "decoded": "bool",
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, AUDIO_FEAT_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: payload passthrough + new dims (a real impl re-encodes)."""
+    """Real resize: decode -> nearest-neighbor resample -> re-encode PNG.
+    Undecodable payloads pass through unchanged (width/height still set —
+    downstream schema contract holds)."""
     import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
-            # REAL DECODER HERE: decode -> resize -> re-encode bytes
+            outs = []
+            for p in pdf["payload"]:
+                img = _decode_image(p)
+                if img is None:
+                    outs.append(bytes(p))
+                    continue
+                h, w = img.shape[:2]
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                outs.append(encode_png(img[np.ix_(ys, xs)]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "payload": pdf["payload"],
+                    "payload": pd.Series(outs, dtype="object", index=pdf.index),
                     "width": pd.Series([width] * len(pdf), dtype="int32", index=pdf.index),
                     "height": pd.Series([height] * len(pdf), dtype="int32", index=pdf.index),
                 }
@@ -143,8 +288,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Frame-sample stub for videos: one output row per sampled timestamp;
-    payload = deterministic slice digest standing in for the frame bytes."""
+    """Frame sampling for videos: one output row per sampled timestamp;
+    payload = deterministic slice digest standing in for the frame bytes
+    (REAL DECODER HERE: ``ffmpeg -ss ts -frames:v 1`` — no codec in this
+    container). The row shape is the real contract."""
     import pandas as pd
 
     def kernel(batches):
@@ -158,7 +305,6 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                     ids.append(mid)
                     idxs.append(j)
                     tss.append(ts)
-                    # REAL DECODER HERE: ffmpeg -ss ts -frames:v 1
                     payloads.append(
                         hashlib.sha256(bytes(payload) + ts.to_bytes(8, "little")).digest()
                     )

@@ -158,23 +158,46 @@ def hyperplane_sketch(
 
 def embedding_near_dups(
     embs: DataFrame, dim: int, threshold: float = 0.95,
-    n_bits: int = 16, seed: int = 13,
+    n_bits: int = 16, seed: int = 13, bands: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Candidate pairs share the full sketch bucket (high-τ regime);
-    exact cosine verifies. Scale shape: one groupBy on a 16-bit key."""
+    """Sign-sketch LSH near-dup pairs: the n_bits sketch is cut into
+    ``bands`` equal bands; candidates share ANY band (pigeonhole: a pair
+    within hamming distance bands-1 always matches at least one band — a
+    near-identical vector can flip a hyperplane whose margin is below the
+    perturbation, so full-sketch equality under-recalls); exact cosine
+    verifies candidates. Scale shape: ``bands`` equi-joins on a
+    (n_bits/bands)-bit key, never all-pairs."""
+    from functools import reduce
+
     sk = hyperplane_sketch(embs, dim, n_bits, seed, id_col, vec_col)
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    for j in range(bands):
+        sk = sk.withColumn(
+            f"band{j}",
+            F.shiftright(F.col("sketch"), j * width).bitwiseAND(F.lit(mask)),
+        )
+    sk = sk.cache()
     a = sk.alias("a")
     b = sk.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id")),
+    pairs = [
+        a.join(
+            b,
+            (F.col(f"a.band{j}") == F.col(f"b.band{j}"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        for j in range(bands)
+    ]
+    cand = reduce(DataFrame.unionByName, pairs).dropDuplicates(["id_a", "id_b"])
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
     )
-    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (
-        _norm(F.col("a.vec")) * _norm(F.col("b.vec"))
+    return cand.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
     )
-    return cand.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cos.alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
