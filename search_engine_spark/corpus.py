@@ -207,15 +207,13 @@ def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
 
     Scalable assignment with NO shuffle past the initial range partition:
     range-partition + sort by the key once (persisted), count per partition,
-    then docid = partition offset + 0-based position within the (sorted)
-    partition via a NARROW mapInArrow pass. The previous formulation used
-    ``row_number() over (partition by _pid)`` — a Window whose partitionBy
-    inserted a full hash SHUFFLE of the corpus (content included) into
-    EVERY downstream action, and AQE coalesced that shuffle's output to ~4
-    partitions, capping the segment pass at 4 tasks regardless of cores.
+    then docid = partition offset + local rank via a NARROW JVM expression.
+    The original formulation used ``row_number() over (partition by _pid)``
+    — a Window whose partitionBy inserted a full hash SHUFFLE of the corpus
+    (content included) into EVERY downstream action, and AQE coalesced that
+    shuffle's output to ~4 partitions, capping the segment pass at 4 tasks
+    regardless of cores.
     """
-    import pyarrow as pa
-
     keys = ["repo", "path", "commit"]
     sc = docs.sparkSession.sparkContext
     partitions = partitions or max(sc.defaultParallelism * 4, 16)
@@ -237,31 +235,16 @@ def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     )
     with_off = part.join(F.broadcast(off_df), "_pid")
 
-    in_cols = ["_off", "repo", "path", "commit", "lang", "content"]
-    out_schema = "docid long, repo string, path string, commit string, lang string, content string"
-
-    def assign(batches):
-        # one task == one partition: a running counter over its (sorted)
-        # rows + the broadcast offset gives the global 1-based rank
-        i = 0
-        for rb in batches:
-            tbl = pa.table(rb)
-            n = tbl.num_rows
-            if n == 0:
-                continue
-            import numpy as np
-
-            off = tbl.column("_off")[0].as_py()
-            ids = pa.array(np.arange(off + i + 1, off + i + n + 1, dtype=np.int64))
-            i += n
-            yield pa.RecordBatch.from_arrays(
-                [ids] + [tbl.column(c).combine_chunks() for c in in_cols[1:]],
-                names=["docid"] + in_cols[1:],
-            )
-
-    assigned = with_off.select(*in_cols).mapInArrow(assign, out_schema)
-    return assigned.select(
-        "docid",
+    # docid = partition offset + 0-based position within the (sorted)
+    # partition + 1, where the position comes from monotonically_increasing_id
+    # (pid·2^33 + seq; seq is the row's sequence number within its partition,
+    # so mid % 2^33 is the local rank) — a pure JVM NARROW expression: no
+    # shuffle, no window, and no extra JVM<->Python Arrow round-trip of the
+    # corpus (an earlier mapInArrow assigner doubled the IPC volume of every
+    # downstream pass)
+    local = F.monotonically_increasing_id() % F.lit(1 << 33)
+    return with_off.select(
+        (F.col("_off") + local + 1).cast("long").alias("docid"),
         F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
                     F.lit("@"), F.col("commit")).alias("ext_docid"),
         "repo", "path", "commit", "lang", "content",

@@ -205,7 +205,7 @@ def positions_decode(buf: bytes, tfs: np.ndarray) -> list:
 # --------------------------------------------------------------------------
 
 
-def _encode_with_offsets(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
+def varint_encode_with_offsets(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
     """(LEB128 bytes, per-value cumulative byte offsets incl. trailing end).
     Single-byte streams (the common case) skip the length pass entirely."""
     data = varint_encode(stream)
@@ -214,6 +214,9 @@ def _encode_with_offsets(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
     else:
         off = np.concatenate(([0], np.cumsum(varint_lengths(stream))))
     return data, off
+
+
+_encode_with_offsets = varint_encode_with_offsets
 
 
 def encode_blocks(

@@ -37,6 +37,11 @@ def get_spark(
         # files; v1's driver-side sequential rename pass serializes the tail
         # of every write stage
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # keep one writer per partition-dir open instead of sort-based
+        # dynamic-partition writing: the segment pass writes n_buckets dirs
+        # per task, and the implicit sort re-buffered the whole (binary-
+        # heavy) task output before writing
+        .config("spark.sql.maxConcurrentOutputFileWriters", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
