@@ -48,19 +48,27 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    # the bench runs the PRODUCTION build path: persistent segment-
-    # architecture index + PackedIndex query side (rank-identical to the
-    # in-memory path — tests/test_index_format.py)
-    dq.USE_PACKED = os.environ.get("SPARK_GRAFT_PACKED", "1") == "1"
-
     spark = get_spark("bench", cores=cpus)
     t_start = time.time()
 
-    # index build (segment pass + merge + stats), timed end-to-end
+    # headline build = the PRODUCTION persistent path (segment pass + merge
+    # + stats -> PackedIndex); rank-identical to the in-memory path
+    # (tests/test_index_format.py). At sf0.1's 5,000 docs the wall is
+    # dominated by fixed per-job costs — the at-scale throughput evidence
+    # is BENCH_SCALING.md (100k files: ~1,500 files/s at 1 core, ~4,000 at
+    # 4 cores on the same input).
     t0 = time.time()
-    idx = dq.load_documents_index(spark, sf_dir)
-    n_files = idx.corpus.n_docs
-    build_sec = time.time() - t0
+    pidx = dq.load_packed_documents_index(spark, sf_dir)
+    n_files = pidx.corpus.n_docs
+    packed_build_sec = time.time() - t0
+
+    # queries run against the in-memory index (the correctness-gate path,
+    # comparable to r01's latencies; the packed query side is exercised by
+    # the pytest rank-identity suite)
+    dq.USE_PACKED = False
+    t0 = time.time()
+    dq.load_documents_index(spark, sf_dir)
+    inmem_build_sec = time.time() - t0
 
     queries = dq.all_queries()
     timings: dict[str, float] = {}
@@ -77,8 +85,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_files": n_files,
-        "index_build_sec": round(build_sec, 3),
-        "index_files_per_sec": round(n_files / build_sec, 1) if build_sec else None,
+        "index_build_sec": round(packed_build_sec, 3),
+        "index_files_per_sec": (
+            round(n_files / packed_build_sec, 1) if packed_build_sec else None
+        ),
+        "inmem_build_sec": round(inmem_build_sec, 3),
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -197,8 +197,14 @@ def load_packed_documents_index(spark: SparkSession, sf_dir: str):
             f"spark_graft_packed_{_os.path.basename(sf_dir.rstrip('/'))}",
         )
         shutil.rmtree(out, ignore_errors=True)
+        # the sf corpora are small (500-5000 docs): cap the fan-out so the
+        # build isn't pure task-launch overhead at local[32]
+        n_docs = docs.count()
+        parts = max(2, min(16, n_docs // 500))
+        docs = docs.repartition(parts)
         cfg = BuildConfig(
-            out_dir=out, fields={"body": "text"}, tokenizer=WHITESPACE_TOKENIZER
+            out_dir=out, fields={"body": "text"}, tokenizer=WHITESPACE_TOKENIZER,
+            n_buckets=8, merge_partitions=max(parts, 8),
         )
         build_persistent_index(spark, docs, cfg, resume=False)
         pidx = PackedIndex(spark, out)

@@ -82,16 +82,34 @@ def compile_node(ast, ctx: EvalContext, default_field: str = DEFAULT_FIELD):
     if name == "score":
         (child,) = as_il(kids)
         return ScoreNode(child)
+    def identity_if_single(children):
+        # single-argument combine = the argument, EXACTLY: Indri #AND is
+        # pow(s, 1/1) (Math.pow(x,1.0)==x), #SUM of one is s, #OR max of
+        # one is s, Boolean #AND min of one is s. The per-query model
+        # default wrap (#AND(q)/#SUM(q)/#OR(q), QryEval.java:676-681)
+        # otherwise nests an operator query as a 1-child combine and pushes
+        # it off the flat single-aggregation fast path (measured 19 Spark
+        # jobs instead of 5 for a wrapped #WAND).
+        return children[0] if len(children) == 1 else None
+
     if name == "and":
         if model == INDRI:
-            return IndriAndNode(as_sl(kids))
+            kids = as_sl(kids)
+            return identity_if_single(kids) or IndriAndNode(kids)
         if model in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
-            return AndBoolNode(as_sl(kids))
+            kids = as_sl(kids)
+            return identity_if_single(kids) or AndBoolNode(kids)
         raise ValueError("#AND is not defined for BM25 (QryopSlAnd.evaluate)")
     if name == "or":
-        return OrNode(as_sl(kids))
+        if model not in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
+            raise ValueError("#OR is only defined for Boolean models (QryopSlOr.java:19-26)")
+        kids = as_sl(kids)
+        return identity_if_single(kids) or OrNode(kids)
     if name == "sum":
-        return SumNode(as_sl(kids))
+        if model != BM25:
+            raise ValueError("#SUM is only defined for BM25 (QryopSlSum.java:39-42)")
+        kids = as_sl(kids)
+        return identity_if_single(kids) or SumNode(kids)
     if name == "wand":
         if model != INDRI:
             raise ValueError("#WAND requires the Indri model")
