@@ -56,14 +56,17 @@ def cosine_topk(
     embs: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k (desc cosine, asc id)."""
-    from pyspark.sql import Window
-
+    """Exact brute-force cosine top-k (desc cosine, asc id).
+    ``orderBy().limit(k)`` is TakeOrderedAndProject (per-partition top-k +
+    driver merge); rank is assigned on the collected ≤k rows instead of an
+    unpartitioned row_number window."""
     scored = cosine_scores(embs, query_vec, id_col, vec_col)
-    top = scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
-    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
-    return top.select(
-        F.row_number().over(w).cast("int").alias("rank"), "id", "cosine"
+    rows = (
+        scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k).collect()
+    )
+    data = [(i + 1, r["id"], float(r["cosine"])) for i, r in enumerate(rows)]
+    return embs.sparkSession.createDataFrame(
+        data, "rank int, id long, cosine double"
     )
 
 
