@@ -170,8 +170,12 @@ def load_documents_index(spark: SparkSession, sf_dir: str):
         idx = build_index(
             spark, docs, fields={"body": "text"}, tokenizer=WHITESPACE_TOKENIZER
         )
-        # materialize the cached forward index once; every query reuses it
+        # materialize the cached forward index AND the postings view once
+        # (postings add df/ctf via a window over doc_terms — uncached, every
+        # flat query re-paid that shuffle)
         idx.doc_terms.count()
+        idx.postings = idx.postings.cache()
+        idx.postings.count()
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
