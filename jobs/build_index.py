@@ -44,9 +44,14 @@ def main() -> None:
     ap.add_argument("--salt-threshold", type=int, default=100_000)
     ap.add_argument("--block-size", type=int, default=1024)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--conf", action="append", default=[], metavar="K=V",
+        help="extra Spark conf (repeatable), e.g. --conf spark.buffer.size=1048576",
+    )
     args = ap.parse_args()
 
-    spark = get_spark("build_index", cores=args.cores)
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark("build_index", cores=args.cores, extra_conf=extra)
     # corpus materialization is input, not indexing — excluded from the
     # timed window (a real run reads a pre-existing Iceberg table)
     if args.synthetic:

@@ -22,7 +22,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, threshold: int) -> dict:
+def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, threshold: int, confs: list[str] | None = None) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "build_index.py"),
@@ -30,6 +30,8 @@ def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, th
         "--cores", str(cores), "--buckets", str(buckets),
         "--salts", str(salts), "--salt-threshold", str(threshold),
     ]
+    for kv in confs or []:
+        cmd += ["--conf", kv]
     res = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -47,6 +49,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2,
                     help="interleaved repeats per level; best wall time wins "
                          "(this host shows double-digit %% run-to-run noise)")
+    ap.add_argument("--conf", action="append", default=[], metavar="K=V",
+                    help="extra Spark conf forwarded to both levels (repeatable)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -54,11 +58,11 @@ def main() -> None:
     for _ in range(args.repeats):
         runs["lo"].append(
             run_level(args.low, args.files, f"{args.workdir}/idx_lo",
-                      args.buckets, args.salts, args.salt_threshold)
+                      args.buckets, args.salts, args.salt_threshold, args.conf)
         )
         runs["hi"].append(
             run_level(args.high, args.files, f"{args.workdir}/idx_hi",
-                      args.buckets, args.salts, args.salt_threshold)
+                      args.buckets, args.salts, args.salt_threshold, args.conf)
         )
     lo = min(runs["lo"], key=lambda r: r["wall_sec"])
     hi = min(runs["hi"], key=lambda r: r["wall_sec"])
