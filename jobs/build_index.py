@@ -58,7 +58,9 @@ def main() -> None:
         # fixed partition count: the src parquet must be IDENTICAL across
         # parallelism levels so scaling runs compare like with like
         src = distributed_corpus_df(spark, args.synthetic, args.seed, partitions=32)
-        src_path = f"{args.out}__src"
+        # file count + seed in the path: a stale corpus of a different size
+        # must never be silently reused across bench configurations
+        src_path = f"{args.out}__src_{args.synthetic}_{args.seed}"
         if not os.path.exists(src_path):
             src.write.mode("overwrite").parquet(src_path)
         docs = with_docids(spark.read.parquet(src_path))

@@ -299,13 +299,27 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
     )
     stop_list = sorted(tok.stopwords)
 
-    def one_field_chunk(fld: str, docid_np: np.ndarray, content: pa.Array) -> list:
-        """One (chunk, field): tokenize + group -> list of column tuples."""
+    def bin_col(values: bytes, off: np.ndarray) -> "pa.Array":
+        """Zero-copy binary column: per-term byte slices of a bulk-encoded
+        stream are contiguous AND adjacent, so the term-boundary offsets over
+        the original buffer ARE the Arrow offsets — no per-term slicing."""
+        return pa.Array.from_buffers(
+            pa.binary(),
+            off.size - 1,
+            [None, pa.py_buffer(off.astype(np.int32).tobytes()), pa.py_buffer(values)],
+        )
+
+    def one_field_chunk(fld: str, docid_np: np.ndarray, content: pa.Array):
+        """One (chunk, field): tokenize + group -> (terms RecordBatch | None,
+        doc-stats marker row | None). The batch columns are built directly
+        from the bulk numpy/varint buffers (r02: the per-term Python row loop
+        + pa.array(list-of-tuples) re-conversion was the last per-term Python
+        in the kernel)."""
         lists = tok.tokens_arrow(content)
         offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = lists.values
         if len(flat) == 0:
-            return []
+            return None, None
         enc = flat.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = enc.dictionary
@@ -316,7 +330,6 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         bad = pc.is_in(vocab, value_set=pa.array([""] + stop_list)).to_numpy(
             zero_copy_only=False
         )
-        vocab_py = vocab.to_pylist()
 
         tok_counts = np.diff(offsets)  # raw tokens per doc
         doc_idx = np.repeat(np.arange(docid_np.size, dtype=np.int64), tok_counts)
@@ -324,7 +337,7 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         codes_f = codes[keep]
         doc_f = doc_idx[keep]
         if codes_f.size == 0:
-            return []
+            return None, None
         # post-filter doclen + within-doc 0-based positions
         kept_counts = np.bincount(doc_f, minlength=docid_np.size)
         kept_starts = np.concatenate(([0], np.cumsum(kept_counts)[:-1]))
@@ -375,34 +388,40 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         d_bytes, d_off = varint_encode_with_offsets(dgaps.astype(np.uint64))
         t_bytes, t_off = varint_encode_with_offsets(tf.astype(np.uint64))
         l_bytes, l_off = varint_encode_with_offsets(run_doclen.astype(np.uint64))
-        rows = []
-        for j in range(t_start.size):
-            a, b = int(t_start[j]), int(t_end[j])
-            rows.append(
-                (
-                    vocab_py[int(run_code[a])], fld, b - a,
-                    int(run_docid[a]), int(run_docid[b - 1]),
-                    int(max_tf[j]), int(min_dl[j]), int(ctf[j]),
-                    d_bytes[int(d_off[a]) : int(d_off[b])],
-                    t_bytes[int(t_off[a]) : int(t_off[b])],
-                    l_bytes[int(l_off[a]) : int(l_off[b])],
-                    pos_bytes_all[int(post_byte_off[a]) : int(post_byte_off[b])],
-                )
-            )
+        # one entry per TERM: boundary indices over the run arrays / byte
+        # offsets (t_end[j] == t_start[j+1], so slices are adjacent)
+        bounds = np.append(t_start, run_code.size)
+        n_terms = t_start.size
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pc.take(vocab, pa.array(run_code[t_start])),
+                pc.take(pa.array([fld]), np.zeros(n_terms, dtype=np.int64)),
+                pa.array((t_end - t_start).astype(np.int32)),
+                pa.array(run_docid[t_start]),
+                pa.array(run_docid[t_end - 1]),
+                pa.array(max_tf.astype(np.int32)),
+                pa.array(min_dl.astype(np.int64)),
+                pa.array(ctf.astype(np.int64)),
+                bin_col(d_bytes, d_off[bounds]),
+                bin_col(t_bytes, t_off[bounds]),
+                bin_col(l_bytes, l_off[bounds]),
+                bin_col(pos_bytes_all, post_byte_off[bounds]),
+            ],
+            schema=arrow_schema,
+        )
         # doc-stats marker row (docs with zero post-filter tokens excluded,
         # matching the python kernel / Lucene-norm-absent case)
         nz = kept_by_rank > 0
         md = docid_by_rank[nz].astype("<i8")
         ml = kept_by_rank[nz].astype("<i8")
+        marker = None
         if md.size:
-            rows.append(
-                (
-                    DOCSTATS_MARKER, fld, int(md.size), int(md[0]),
-                    int(md[-1]), 1, int(ml.min()), 0,
-                    md.tobytes(), b"", ml.tobytes(), b"",
-                )
+            marker = (
+                DOCSTATS_MARKER, fld, int(md.size), int(md[0]),
+                int(md[-1]), 1, int(ml.min()), 0,
+                md.tobytes(), b"", ml.tobytes(), b"",
             )
-        return rows
+        return batch, marker
 
     def gen(batches):
         # coalesce incoming Arrow batches (maxRecordsPerBatch-sized) into
@@ -430,6 +449,9 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
             ids_sorted = docid_np[order_docs].astype("<i8")
             exts = tbl.column("ext_docid").to_pylist()
             ext_blob = "\x00".join(exts[i] for i in order_docs).encode("utf-8")
+            # marker rows (one docids row + one docstats row per field) stay
+            # a tiny row-built batch; term rows stream out as the zero-copy
+            # per-field batches
             rows: list = [
                 (
                     DOCIDS_MARKER, "", int(ids_sorted.size), int(ids_sorted[0]),
@@ -439,7 +461,11 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
             ]
             for fld, src in flds:
                 content = tbl.column(src).combine_chunks()
-                rows.extend(one_field_chunk(fld, docid_np, content))
+                batch, marker = one_field_chunk(fld, docid_np, content)
+                if marker is not None:
+                    rows.append(marker)
+                if batch is not None:
+                    yield batch
             cols = list(zip(*rows))
             yield pa.RecordBatch.from_arrays(
                 [

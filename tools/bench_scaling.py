@@ -8,6 +8,14 @@ Efficiency = (throughput@4N / throughput@N) / 4. Writes JSON to stdout and
 appends a markdown row to BENCH_SCALING.md.
 
     python tools/bench_scaling.py --files 20000 --low 8 --high 32
+
+``--pin`` additionally confines each level to exactly that many CPUs via
+``taskset``: without it, a ``local[1]`` driver still spreads its JVM GC/IO
+threads and python workers over every host core, so the low level free-rides
+on extra CPUs and the measured efficiency understates true scaling. Pinning
+makes the levels resource-proportional — the faithful stand-in for N- vs
+4N-executor clusters, where an executor's JVM *and* python workers share
+that executor's cores.
 """
 
 from __future__ import annotations
@@ -22,7 +30,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, threshold: int, confs: list[str] | None = None) -> dict:
+def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, threshold: int, confs: list[str] | None = None, pin: bool = False) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "build_index.py"),
@@ -30,6 +38,8 @@ def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, th
         "--cores", str(cores), "--buckets", str(buckets),
         "--salts", str(salts), "--salt-threshold", str(threshold),
     ]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
     for kv in confs or []:
         cmd += ["--conf", kv]
     res = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -51,6 +61,9 @@ def main() -> None:
                          "(this host shows double-digit %% run-to-run noise)")
     ap.add_argument("--conf", action="append", default=[], metavar="K=V",
                     help="extra Spark conf forwarded to both levels (repeatable)")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each level to exactly that many CPUs "
+                         "(resource-proportional N vs 4N; see module docstring)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -58,20 +71,26 @@ def main() -> None:
     for _ in range(args.repeats):
         runs["lo"].append(
             run_level(args.low, args.files, f"{args.workdir}/idx_lo",
-                      args.buckets, args.salts, args.salt_threshold, args.conf)
+                      args.buckets, args.salts, args.salt_threshold,
+                      args.conf, args.pin)
         )
         runs["hi"].append(
             run_level(args.high, args.files, f"{args.workdir}/idx_hi",
-                      args.buckets, args.salts, args.salt_threshold, args.conf)
+                      args.buckets, args.salts, args.salt_threshold,
+                      args.conf, args.pin)
         )
     lo = min(runs["lo"], key=lambda r: r["wall_sec"])
     hi = min(runs["hi"], key=lambda r: r["wall_sec"])
 
     ratio = hi["files_per_sec"] / lo["files_per_sec"]
     eff = ratio / (args.high / args.low)
+    # report the count the JOB saw, not the request — guards against any
+    # corpus-reuse mismatch ever mislabeling a history row again
+    n_files = lo.get("files") or args.files
     out = {
         "metric": "index_build_scaling",
-        "files": args.files,
+        "files": n_files,
+        "pinned": args.pin,
         "low_cores": args.low,
         "high_cores": args.high,
         "low_files_per_sec": lo["files_per_sec"],
@@ -82,10 +101,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(out))
+    pin_note = " (pinned)" if args.pin else ""
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"| {args.files} | local[{args.low}] {lo['files_per_sec']} f/s "
-            f"({lo['wall_sec']}s) | local[{args.high}] {hi['files_per_sec']} f/s "
+            f"| {n_files} | local[{args.low}]{pin_note} {lo['files_per_sec']} f/s "
+            f"({lo['wall_sec']}s) | local[{args.high}]{pin_note} {hi['files_per_sec']} f/s "
             f"({hi['wall_sec']}s) | {ratio:.2f}x | {eff:.3f} |\n"
         )
 
