@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--master", help="override master URL (e.g. spark://127.0.0.1:7077 "
+                                     "from tools/local_cluster.py); --cores then means "
+                                     "the cluster's total task cores (sizes shuffle)")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--salts", type=int, default=8)
     ap.add_argument("--salt-threshold", type=int, default=100_000)
@@ -51,7 +54,7 @@ def main() -> None:
     args = ap.parse_args()
 
     extra = dict(kv.split("=", 1) for kv in args.conf)
-    spark = get_spark("build_index", cores=args.cores, extra_conf=extra)
+    spark = get_spark("build_index", cores=args.cores, extra_conf=extra, master=args.master)
     # corpus materialization is input, not indexing — excluded from the
     # timed window (a real run reads a pre-existing Iceberg table)
     if args.synthetic:

@@ -18,11 +18,16 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — e.g. a standalone
+    ``spark://host:7077`` cluster (tools/local_cluster.py runs one on this
+    box with real per-executor JVMs). ``cores`` still sizes shuffle
+    partitions: pass the cluster's total task cores."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -46,6 +51,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    if master and not master.startswith("local"):
+        # non-local executors need the package on their import path and the
+        # same interpreter for python workers
+        import sys
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = b.config("spark.executorEnv.PYTHONPATH", repo_root).config(
+            "spark.pyspark.python", sys.executable
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

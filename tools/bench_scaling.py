@@ -30,7 +30,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, threshold: int, confs: list[str] | None = None, pin: bool = False) -> dict:
+def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int,
+              threshold: int, confs: list[str] | None = None, pin: bool = False,
+              executor_cores: int = 0, executor_mem: str = "6g") -> dict:
+    """One build at one parallelism level. ``executor_cores > 0`` switches
+    from local[cores] to a standalone cluster of cores/executor_cores
+    separate executor JVMs (tools/local_cluster.py) — the faithful stand-in
+    for a cluster of that many executors; ``pin`` then tasksets the WORKER
+    (hence all executors) to exactly ``cores`` CPUs while the driver floats,
+    as on a real cluster where the driver is its own node."""
     shutil.rmtree(out_dir, ignore_errors=True)
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "build_index.py"),
@@ -38,11 +46,26 @@ def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int, th
         "--cores", str(cores), "--buckets", str(buckets),
         "--salts", str(salts), "--salt-threshold", str(threshold),
     ]
-    if pin:
-        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
     for kv in confs or []:
         cmd += ["--conf", kv]
-    res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    if executor_cores:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from local_cluster import LocalCluster
+
+        n_exec = max(1, cores // executor_cores)
+        mem_gb = int(executor_mem.rstrip("g")) * n_exec + 2
+        with LocalCluster(cores=cores, memory_gb=mem_gb, pin_cpus=pin) as url:
+            cmd += [
+                "--master", url,
+                "--conf", f"spark.executor.cores={executor_cores}",
+                "--conf", f"spark.executor.memory={executor_mem}",
+                "--conf", f"spark.cores.max={cores}",
+            ]
+            res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    else:
+        if pin:
+            cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -64,6 +87,11 @@ def main() -> None:
     ap.add_argument("--pin", action="store_true",
                     help="taskset each level to exactly that many CPUs "
                          "(resource-proportional N vs 4N; see module docstring)")
+    ap.add_argument("--executor-cores", type=int, default=0, metavar="C",
+                    help="run each level on a standalone cluster of separate "
+                         "C-core executor JVMs instead of one local[N] JVM "
+                         "(level/C executors; tools/local_cluster.py)")
+    ap.add_argument("--executor-mem", default="6g")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -72,12 +100,12 @@ def main() -> None:
         runs["lo"].append(
             run_level(args.low, args.files, f"{args.workdir}/idx_lo",
                       args.buckets, args.salts, args.salt_threshold,
-                      args.conf, args.pin)
+                      args.conf, args.pin, args.executor_cores, args.executor_mem)
         )
         runs["hi"].append(
             run_level(args.high, args.files, f"{args.workdir}/idx_hi",
                       args.buckets, args.salts, args.salt_threshold,
-                      args.conf, args.pin)
+                      args.conf, args.pin, args.executor_cores, args.executor_mem)
         )
     lo = min(runs["lo"], key=lambda r: r["wall_sec"])
     hi = min(runs["hi"], key=lambda r: r["wall_sec"])
@@ -91,6 +119,7 @@ def main() -> None:
         "metric": "index_build_scaling",
         "files": n_files,
         "pinned": args.pin,
+        "executor_cores": args.executor_cores,
         "low_cores": args.low,
         "high_cores": args.high,
         "low_files_per_sec": lo["files_per_sec"],
@@ -102,10 +131,16 @@ def main() -> None:
     }
     print(json.dumps(out))
     pin_note = " (pinned)" if args.pin else ""
+    if args.executor_cores:
+        ec = args.executor_cores
+        lo_lbl = f"{args.low // ec}x{ec}-core executors"
+        hi_lbl = f"{args.high // ec}x{ec}-core executors"
+    else:
+        lo_lbl, hi_lbl = f"local[{args.low}]", f"local[{args.high}]"
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"| {n_files} | local[{args.low}]{pin_note} {lo['files_per_sec']} f/s "
-            f"({lo['wall_sec']}s) | local[{args.high}]{pin_note} {hi['files_per_sec']} f/s "
+            f"| {n_files} | {lo_lbl}{pin_note} {lo['files_per_sec']} f/s "
+            f"({lo['wall_sec']}s) | {hi_lbl}{pin_note} {hi['files_per_sec']} f/s "
             f"({hi['wall_sec']}s) | {ratio:.2f}x | {eff:.3f} |\n"
         )
 
