@@ -692,6 +692,30 @@ class Manifest:
 # --------------------------------------------------------------------------
 
 
+def _config_echo(cfg: BuildConfig) -> dict:
+    """The config subset recorded in lineage and validated on resume — shared
+    by the batch build and the streaming ingest (streaming/ingest.py) so the
+    two paths can never drift on what counts as 'the same build'."""
+    return {
+        "segment_format": 3,  # v3: all posting streams varint-packed in segments
+        "n_buckets": cfg.n_buckets,
+        "block_size": cfg.block_size,
+        "salt_threshold": cfg.salt_threshold,
+        "n_salts": cfg.n_salts,
+        "fields": sorted(cfg.fields),
+        "tokenizer": cfg.tokenizer.name,
+    }
+
+
+def read_segments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The segments table normalized to SEGMENT_SCHEMA + bucket. Streaming
+    ingest lays segments out as batch=<id>/bucket=<b>/ (per-batch idempotent
+    overwrite); partition discovery then adds a `batch` column that the
+    stats/merge phases must not see."""
+    df = spark.read.parquet(f"{out_dir}/segments")
+    return df.select(*[f.name for f in SEGMENT_SCHEMA], "bucket")
+
+
 def _bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
@@ -715,15 +739,7 @@ def build_persistent_index(
     if not resume:
         man.data = {"stages": {}, "buckets": {}, "counters": {}, "lineage": {}}
 
-    config_echo = {
-        "segment_format": 3,  # v3: all posting streams varint-packed in segments
-        "n_buckets": cfg.n_buckets,
-        "block_size": cfg.block_size,
-        "salt_threshold": cfg.salt_threshold,
-        "n_salts": cfg.n_salts,
-        "fields": sorted(cfg.fields),
-        "tokenizer": cfg.tokenizer.name,
-    }
+    config_echo = _config_echo(cfg)
 
     # ---- resume validation ----------------------------------------------
     # A manifest with completed stages must describe THIS invocation:
@@ -800,7 +816,7 @@ def build_persistent_index(
             segments_sec=round(time.time() - t_stage, 2),
         )
 
-    segments = spark.read.parquet(f"{out}/segments")
+    segments = read_segments(spark, out)
 
     # ---- stage: doc_ids + doc_stats + term_stats + corpus_stats ---------
     # Three small independent writes over the segments table, submitted
@@ -977,7 +993,7 @@ def build_persistent_index(
         term hashed to bucket b (ADVICE r01); an empty bucket now just writes
         an empty packed partition."""
         part = (
-            spark.read.parquet(f"{out}/segments")
+            read_segments(spark, out)
             .where(F.col("bucket") == b)
             .drop("bucket")
         )
@@ -1017,7 +1033,7 @@ def build_persistent_index(
         # (term, field, salt) and a partitioned write; per-bucket jobs (the
         # resume path below) would pay n_buckets x job-orchestration
         # overhead for identical output
-        segs_all = spark.read.parquet(f"{out}/segments").where(F.col("bucket") >= 0)
+        segs_all = read_segments(spark, out).where(F.col("bucket") >= 0)
         salted = (
             F.col("term").isin(heavy_terms) if heavy_terms else F.lit(False)
         )
