@@ -104,13 +104,16 @@ class IndexTables:
 
 
 def tokenize_fields(
-    docs: DataFrame, fields: dict[str, str], tokenizer: Tokenizer
+    docs: DataFrame, fields: dict[str, str], tokenizer: Tokenizer,
+    key: str = "docid",
 ) -> DataFrame:
-    """documents -> (docid, field, pos, term), one row per token occurrence.
+    """documents -> (<key>, field, pos, term), one row per token occurrence.
 
     `fields` maps index-field name -> source column (e.g. {"body": "content"}).
     Tokenization is a JVM split/lower/filter expression; posexplode assigns
-    0-based positions. No Python in the loop.
+    0-based positions. No Python in the loop. ``key`` selects the document
+    identifier column (internal docid by default; the streaming matcher keys
+    by ext_docid — arriving docs have no internal id yet).
     """
     per_field = []
     for fld, src in fields.items():
@@ -121,8 +124,8 @@ def tokenize_fields(
             # raw expression twice in one select invites per-output-row
             # recomputation of the split inside the generator (quadratic in
             # doc length — observed as a 20x stall at 2k-token docs).
-            docs.select("docid", toks.alias("_toks")).select(
-                "docid",
+            docs.select(key, toks.alias("_toks")).select(
+                key,
                 F.lit(fld).alias("field"),
                 # doclen = token count BEFORE the explode: rides every token
                 # row for free — no later shuffle/window/join to recover it
