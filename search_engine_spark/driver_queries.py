@@ -726,6 +726,58 @@ FROM dl""",
 )
 
 
+# -- prospective (continuous) search -----------------------------------------
+# streaming/match.py's per-micro-batch matcher evaluated as a batch over the
+# documents table: stored BM25 BOW queries scored against every document with
+# the index snapshot's stats. Same formula as bm25_sum (float32 per-term
+# scores), so the DuckDB twin is bitwise.
+
+_PROSPECTIVE_QUERIES = [
+    ("q1", "spark query"),
+    ("q2", "table dup"),
+    ("q3", "spark nosuchtermxyz"),  # unknown term drops (df>=1 guard)
+]
+
+
+def _q_prospective_match(spark, sf_dir):
+    from search_engine_spark.streaming.match import match_docs, query_term_table
+
+    idx = load_documents_index(spark, sf_dir)
+    qt = query_term_table(idx, _PROSPECTIVE_QUERIES, WHITESPACE_TOKENIZER)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("ext_docid"), "text"
+    )
+    return match_docs(
+        docs, qt, idx, field="body", source_col="text",
+        tokenizer=WHITESPACE_TOKENIZER,
+    ).select("qid", F.col("ext_docid").cast("long").alias("docid"), "score")
+
+
+_register(
+    "prospective_match",
+    _q_prospective_match,
+    SQL_PRELUDE
+    + f""",
+qterms(qid, term) AS (VALUES
+  ('q1','spark'), ('q1','query'), ('q2','table'), ('q2','dup'),
+  ('q3','spark'), ('q3','nosuchtermxyz')),
+pscores AS (
+  SELECT q.qid, t.doc_id,
+         CAST(CAST(
+           greatest(0.0, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           * (t.tf / (t.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))
+         AS REAL) AS DOUBLE) AS score
+  FROM qterms q
+  JOIN tfs t USING (term)
+  JOIN dfstats d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN consts c
+)
+SELECT qid, doc_id AS docid, sum(score) AS score
+FROM pscores GROUP BY 1, 2 HAVING sum(score) > 0""",
+)
+
+
 def all_queries() -> dict:
     from search_engine_spark import driver_queries_letor as dql
     from search_engine_spark import driver_queries_pipeline as dqp
