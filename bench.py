@@ -40,6 +40,7 @@ HEADLINE = [
     "indri_wsum_topk",
     "prf_term_weights",
     "letor_rerank_topk",
+    "prospective_match",
 ]
 
 
