@@ -7,10 +7,10 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 `value` is the end-to-end wall time (index build + all headline queries).
-Extra keys record the north-rule numbers: index-build files/sec and, when
-``--scaling`` is passed, the same build at two parallelism levels with the
-scaling efficiency (see tools/bench_scaling.py for the driver-independent
-two-level run).
+Extra keys record index-build files/sec. The north-rule two-parallelism-level
+scaling evidence is produced by ``tools/bench_scaling.py`` (fresh JVM per
+level, optional ``--warmup-files`` steady-state mode) and recorded with full
+history in ``BENCH_SCALING.md``.
 """
 
 from __future__ import annotations

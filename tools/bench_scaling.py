@@ -32,7 +32,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int,
               threshold: int, confs: list[str] | None = None, pin: bool = False,
-              executor_cores: int = 0, executor_mem: str = "6g") -> dict:
+              executor_cores: int = 0, executor_mem: str = "6g",
+              warmup_files: int = 0) -> dict:
     """One build at one parallelism level. ``executor_cores > 0`` switches
     from local[cores] to a standalone cluster of cores/executor_cores
     separate executor JVMs (tools/local_cluster.py) — the faithful stand-in
@@ -46,6 +47,8 @@ def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int,
         "--cores", str(cores), "--buckets", str(buckets),
         "--salts", str(salts), "--salt-threshold", str(threshold),
     ]
+    if warmup_files:
+        cmd += ["--warmup-files", str(warmup_files)]
     for kv in confs or []:
         cmd += ["--conf", kv]
     if executor_cores:
@@ -92,6 +95,10 @@ def main() -> None:
                          "C-core executor JVMs instead of one local[N] JVM "
                          "(level/C executors; tools/local_cluster.py)")
     ap.add_argument("--executor-mem", default="6g")
+    ap.add_argument("--warmup-files", type=int, default=0, metavar="N",
+                    help="untimed N-file build in each level's JVM before "
+                         "its timed run (steady-state measurement; see "
+                         "jobs/build_index.py --warmup-files)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -100,12 +107,14 @@ def main() -> None:
         runs["lo"].append(
             run_level(args.low, args.files, f"{args.workdir}/idx_lo",
                       args.buckets, args.salts, args.salt_threshold,
-                      args.conf, args.pin, args.executor_cores, args.executor_mem)
+                      args.conf, args.pin, args.executor_cores, args.executor_mem,
+                      args.warmup_files)
         )
         runs["hi"].append(
             run_level(args.high, args.files, f"{args.workdir}/idx_hi",
                       args.buckets, args.salts, args.salt_threshold,
-                      args.conf, args.pin, args.executor_cores, args.executor_mem)
+                      args.conf, args.pin, args.executor_cores, args.executor_mem,
+                      args.warmup_files)
         )
     lo = min(runs["lo"], key=lambda r: r["wall_sec"])
     hi = min(runs["hi"], key=lambda r: r["wall_sec"])
@@ -128,9 +137,12 @@ def main() -> None:
         "high_wall_sec": hi["wall_sec"],
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
+        "warmup_files": args.warmup_files,
     }
     print(json.dumps(out))
     pin_note = " (pinned)" if args.pin else ""
+    if args.warmup_files:
+        pin_note += f" (warm{args.warmup_files})"
     if args.executor_cores:
         ec = args.executor_cores
         lo_lbl = f"{args.low // ec}x{ec}-core executors"
