@@ -73,9 +73,23 @@ def main() -> None:
         tokenizer=CODE_TOKENIZER,
     )
 
-    t0 = time.time()
+    def _totals() -> tuple[int, int]:
+        st = Manifest(os.path.join(args.out, "manifest.json")).data.get(
+            "stream", {}
+        )
+        batches = st.get("batches", {})
+        return sum(b["n_docs"] for b in batches.values()), len(batches)
+
+    n_before, batches_before = _totals()
+    ingest_wall = 0.0
     if args.synthetic:
+        import shutil
+
         arrivals = f"{args.out}__arrivals_{args.synthetic}_{args.seed}"
+        if n_before == 0:
+            # a fresh demo must not re-drain a previous run's arrival files
+            # (stale arrivals + fresh checkpoint = every doc indexed twice)
+            shutil.rmtree(arrivals, ignore_errors=True)
         docs = distributed_corpus_df(spark, args.synthetic, args.seed, partitions=32)
         from pyspark.sql import functions as F
 
@@ -83,31 +97,44 @@ def main() -> None:
             docs.where(F.crc32("path") % args.waves == w).write.mode(
                 "append"
             ).parquet(arrivals)
+            t0 = time.time()
             stream_ingest(
                 spark, arrivals, cfg,
                 max_files_per_trigger=args.max_files_per_trigger,
             )
+            ingest_wall += time.time() - t0
         args.finalize = True
     elif args.input:
+        t0 = time.time()
         stream_ingest(
             spark, args.input, cfg,
             max_files_per_trigger=args.max_files_per_trigger,
         )
+        ingest_wall += time.time() - t0
+    finalize_wall = 0.0
     if args.finalize:
+        t0 = time.time()
         finalize_stream_index(spark, cfg)
-    wall = time.time() - t0
+        finalize_wall = time.time() - t0
 
     man = Manifest(os.path.join(args.out, "manifest.json"))
-    st = man.data.get("stream", {})
-    n = sum(b["n_docs"] for b in st.get("batches", {}).values())
+    n_total, batches_total = _totals()
+    n_new = n_total - n_before
     print(
         json.dumps(
             {
                 "job": "stream_index",
-                "wall_sec": round(wall, 3),
-                "files_ingested": n,
-                "files_per_sec": round(n / wall, 2) if wall else None,
-                "batches": len(st.get("batches", {})),
+                # THIS invocation's work: docs drained now / ingest seconds
+                # now (corpus-generation writes and finalize excluded)
+                "ingest_wall_sec": round(ingest_wall, 3),
+                "finalize_wall_sec": round(finalize_wall, 3),
+                "files_ingested": n_new,
+                "files_per_sec": (
+                    round(n_new / ingest_wall, 2) if ingest_wall else None
+                ),
+                "batches": batches_total - batches_before,
+                "files_total": n_total,
+                "batches_total": batches_total,
                 "finalized": man.stage_done("packed"),
                 "cores": args.cores,
             }

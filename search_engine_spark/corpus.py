@@ -243,10 +243,15 @@ def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     # corpus (an earlier mapInArrow assigner doubled the IPC volume of every
     # downstream pass)
     local = F.monotonically_increasing_id() % F.lit(1 << 33)
-    return with_off.select(
+    out = with_off.select(
         (F.col("_off") + local + 1).cast("long").alias("docid"),
         F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
                     F.lit("@"), F.col("commit")).alias("ext_docid"),
         "repo", "path", "commit", "lang", "content",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
+    # expose the persisted intermediate so bounded-lifetime callers (the
+    # streaming ingest runs once per micro-batch) can unpersist it after
+    # their action instead of waiting for the context cleaner
+    out._persisted_part = part
+    return out

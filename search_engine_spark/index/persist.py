@@ -716,6 +716,33 @@ def read_segments(spark: SparkSession, out_dir: str) -> DataFrame:
     return df.select(*[f.name for f in SEGMENT_SCHEMA], "bucket")
 
 
+def observed_segment_rows(docs: DataFrame, cfg: BuildConfig, obs_name: str):
+    """The segment-stage plan shared by the batch build and streaming
+    ingest: lineage metrics (doc count + order-independent keys-xor
+    fingerprint) observed on the input scan, kernel dispatch, and marker/
+    term bucket assignment. ONE definition so the two paths can never drift
+    on what the fingerprint or the bucketing means (the streaming finalize
+    depends on byte-equal lineage semantics for its resume validation).
+
+    Returns (observation, segments_df); read ``observation.get`` only after
+    an action has consumed segments_df."""
+    from pyspark.sql import Observation
+
+    obs = Observation(obs_name)
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(F.xxhash64("ext_docid")).alias("fp"),
+    )
+    segs = segment_rows(observed, cfg).withColumn(
+        "bucket",
+        F.when(F.col("term").isin(MARKER_TERMS), F.lit(-1)).otherwise(
+            _bucket_col(F.col("term"), cfg.n_buckets)
+        ),
+    )
+    return obs, segs
+
+
 def _bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
@@ -788,19 +815,7 @@ def build_persistent_index(
     # that the stats stage decodes.
     if not man.stage_done("segments"):
         t_stage = time.time()
-        obs = Observation("lineage")
-        observed = docs.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.bit_xor(F.xxhash64("ext_docid")).alias("fp"),
-        )
-        segs = segment_rows(observed, cfg)
-        segs = segs.withColumn(
-            "bucket",
-            F.when(F.col("term").isin(MARKER_TERMS), F.lit(-1)).otherwise(
-                _bucket_col(F.col("term"), cfg.n_buckets)
-            ),
-        )
+        obs, segs = observed_segment_rows(docs, cfg, "lineage")
         # map-side partitioned write: every task writes its own per-bucket
         # files; no shuffle anywhere in the segment pass
         segs.write.mode("overwrite").partitionBy("bucket").parquet(

@@ -44,10 +44,8 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.corpus import CODE_DOC_SCHEMA, with_docids
 from search_engine_spark.index.persist import (
-    MARKER_TERMS,
     BuildConfig,
     Manifest,
-    _bucket_col,
     _config_echo,
     build_persistent_index,
 )
@@ -63,7 +61,7 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, cfg: BuildConfig) -> None:
     """One micro-batch -> segment files under segments/batch=<id>/ +
     a manifest entry. Safe to replay: the write overwrites only this
     batch's directory and a recorded batch reuses its recorded docid base."""
-    from search_engine_spark.index.persist import segment_rows
+    from search_engine_spark.index.persist import observed_segment_rows
 
     out = cfg.out_dir
     os.makedirs(out, exist_ok=True)
@@ -74,6 +72,31 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, cfg: BuildConfig) -> None:
             "finalized index requires a fresh out_dir"
         )
     st = _stream_state(man)
+    # a segments dir with NO stream state is a partial BATCH build
+    # (bucket=*/ layout): streaming batch=*/ dirs next to it would poison
+    # partition discovery at finalize — refuse up front, near the cause
+    if not st["batches"] and os.path.exists(os.path.join(out, "segments")):
+        raise RuntimeError(
+            f"{out}/segments exists but holds no streamed batches — it is a "
+            "partial batch build; stream into a fresh out_dir (or finish/"
+            "remove the batch build)"
+        )
+    # config drift across drains silently mixes incompatible segments
+    # (different tokenizer/bucketing per batch, one winner stamped into
+    # lineage at finalize) — record the echo on the first batch, compare on
+    # every later one
+    echo = _config_echo(cfg)
+    recorded = st.setdefault("config", echo)
+    if recorded != echo:
+        mism = {k for k in echo if recorded.get(k) != echo[k]}
+        raise ValueError(
+            f"stream config mismatch vs first drain at {man.path}: "
+            + ", ".join(
+                f"{k}: recorded={recorded.get(k)!r} now={echo[k]!r}"
+                for k in sorted(mism)
+            )
+            + " — use a fresh out_dir for a different BuildConfig"
+        )
     key = str(batch_id)
     prior = st["batches"].get(key)
     base = prior["base"] if prior else st["next_docid_base"]
@@ -81,27 +104,21 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, cfg: BuildConfig) -> None:
     t0 = time.time()
     # dense docids 1..n within the batch, shifted to continue the stream;
     # ext ids / natural keys are identical to the batch ingest path
-    docs = with_docids(batch_df)
+    docs0 = with_docids(batch_df)
+    docs = docs0
     if base:
         docs = docs.withColumn("docid", (F.col("docid") + F.lit(base)).cast("long"))
 
-    from pyspark.sql import Observation
-
-    obs = Observation(f"stream_lineage_{batch_id}")
-    observed = docs.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_docs"),
-        F.bit_xor(F.xxhash64("ext_docid")).alias("fp"),
-    )
-    segs = segment_rows(observed, cfg).withColumn(
-        "bucket",
-        F.when(F.col("term").isin(MARKER_TERMS), F.lit(-1)).otherwise(
-            _bucket_col(F.col("term"), cfg.n_buckets)
-        ),
-    )
+    obs, segs = observed_segment_rows(docs, cfg, f"stream_lineage_{batch_id}")
     segs.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out}/segments/batch={batch_id}"
     )
+    # release the docid-assignment cache now instead of waiting for the
+    # context cleaner — a long stream would otherwise pin one cached copy
+    # of every batch's corpus
+    part = getattr(docs0, "_persisted_part", None)
+    if part is not None:
+        part.unpersist()
     m = obs.get
     n = int(m["n_docs"])
     st["batches"][key] = {
@@ -168,6 +185,12 @@ def finalize_stream_index(
     st = man.data.get("stream")
     if not st or not st["batches"]:
         raise ValueError(f"no streamed batches recorded at {cfg.out_dir}")
+    rec = st.get("config")
+    if rec is not None and rec != _config_echo(cfg):
+        raise ValueError(
+            f"finalize config differs from the streamed drains' config at "
+            f"{man.path}: recorded={rec!r} now={_config_echo(cfg)!r}"
+        )
     if not man.stage_done("segments"):
         n_docs = sum(b["n_docs"] for b in st["batches"].values())
         fp_xor = 0

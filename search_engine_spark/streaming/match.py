@@ -35,9 +35,6 @@ from search_engine_spark.engine.score import bm25_score
 from search_engine_spark.index.build import IndexTables, tokenize_fields
 from search_engine_spark.tokenize import Tokenizer
 
-MATCH_SCHEMA = "qid string, ext_docid string, score double"
-
-
 def query_term_table(
     index: IndexTables,
     queries: list[tuple[str, str]],
@@ -153,7 +150,12 @@ def stream_matches(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # one invocation per drain is the intended usage — don't pin a
+        # cached query-term copy per call until session end
+        query_terms.unpersist()
     return q
 
 

@@ -132,6 +132,36 @@ def test_stream_into_finalized_index_refused(spark, streamed_vs_batch):
         ingest_batch(docs, 99, cfg)
 
 
+def test_stream_config_drift_refused(spark, tmp_path_factory):
+    """Drains with a different BuildConfig against the same out_dir must be
+    refused (they would write incompatibly-bucketed/tokenized segments that
+    finalize would silently stamp with the last config)."""
+    root = tmp_path_factory.mktemp("drift")
+    docs = code_corpus_df(spark, 10, 5)
+    cfg = _cfg(str(root / "idx"))
+    ingest_batch(docs, 0, cfg)
+    from search_engine_spark.index.persist import BuildConfig
+
+    bad = BuildConfig(**{**cfg.__dict__, "n_buckets": cfg.n_buckets * 2})
+    with pytest.raises(ValueError, match="config mismatch"):
+        ingest_batch(docs, 1, bad)
+    with pytest.raises(ValueError, match="config differs"):
+        finalize_stream_index(spark, bad)
+    finalize_stream_index(spark, cfg)  # the recorded config still finalizes
+
+
+def test_stream_into_partial_batch_build_refused(spark, tmp_path_factory):
+    """segments/ with a bucket=*/ (batch-build) layout and no stream state
+    means a crashed batch build — streaming batch=*/ dirs next to it would
+    poison partition discovery at finalize."""
+    root = tmp_path_factory.mktemp("partial")
+    cfg = _cfg(str(root / "idx"))
+    os.makedirs(os.path.join(cfg.out_dir, "segments", "bucket=0"))
+    docs = code_corpus_df(spark, 5, 5)
+    with pytest.raises(RuntimeError, match="partial batch build"):
+        ingest_batch(docs, 0, cfg)
+
+
 def test_batch_replay_is_idempotent(spark, tmp_path_factory):
     """Replaying a recorded micro-batch (crash between segment write and
     checkpoint commit) reuses its docid base and overwrites only its own
