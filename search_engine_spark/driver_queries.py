@@ -158,7 +158,10 @@ USE_PACKED = _os.environ.get("SPARK_GRAFT_PACKED") == "1"
 
 
 def load_documents_index(spark: SparkSession, sf_dir: str):
-    if USE_PACKED or _os.environ.get("SPARK_GRAFT_PACKED") == "1":
+    # module flag ONLY (initialized from the env at import): re-reading the
+    # env here would make bench.py's `dq.USE_PACKED = False` flip a no-op
+    # in exactly the SPARK_GRAFT_PACKED=1 case it exists for
+    if USE_PACKED:
         return load_packed_documents_index(spark, sf_dir)
     key = (id(spark), sf_dir)
     if key not in _INDEX_CACHE:

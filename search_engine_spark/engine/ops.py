@@ -52,6 +52,10 @@ from search_engine_spark.index.build import IndexTables
 # evaluation context
 # --------------------------------------------------------------------------
 
+from itertools import count as _count
+
+_CTX_COUNTER = _count()
+
 
 @dataclass
 class EvalContext:
@@ -63,6 +67,23 @@ class EvalContext:
     index: IndexTables
     model: ModelConfig
     _stats: dict = dc_field(default_factory=dict)  # (term, field) -> (df, ctf)
+    # unique per-context token for per-query materialization caches (id()
+    # of a garbage-collected context can be reused — a counter cannot) and
+    # the registry of DataFrames those caches pinned, so the engine can
+    # unpersist them after a query's action completes
+    uid: int = dc_field(default_factory=lambda: next(_CTX_COUNTER))
+    cached_frames: list = dc_field(default_factory=list, repr=False)
+
+    def release_caches(self) -> None:
+        """Unpersist every DataFrame a composite-#SCORE evaluation cached
+        under this context (pinned JVM-side in Spark's CacheManager —
+        Python GC of the AST does NOT release them)."""
+        for df in self.cached_frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.cached_frames.clear()
 
     def prefetch_terms(self, pairs: set[tuple[str, str]]) -> None:
         """One tiny filtered scan of term_stats for all leaf terms of a query."""
@@ -381,7 +402,7 @@ class ScoreNode(SlNode):
         positional mapInPandas walk ran twice (VERDICT r01 item 5). Term
         leaves skip the cache — their df/ctf is a broadcast-stats lookup.
         Boolean models never read df/ctf, so no stats job runs at all."""
-        key = id(ctx)
+        key = ctx.uid
         if key not in self._mat:
             needs_stats = ctx.model.name in (BM25, INDRI)
             posts = self.child.postings(ctx)
@@ -389,6 +410,7 @@ class ScoreNode(SlNode):
                 stats = self.child.list_stats(ctx) if needs_stats else (0, 0)
             elif needs_stats:
                 posts = posts.cache()
+                ctx.cached_frames.append(posts)
                 stats = self.child.list_stats(ctx, posts)
             else:
                 stats = (0, 0)

@@ -53,7 +53,16 @@ class Engine:
 
     def search(self, query: str, k: int = TOP_K) -> DataFrame:
         """query text -> top-k (rank, docid, ext_docid, score)."""
-        return rank_topk(self.scores(query), self.index.doc_ids, k)
+        try:
+            # rank_topk collects the ≤k survivors, so the query's action
+            # completes inside this call...
+            return rank_topk(self.scores(query), self.index.doc_ids, k)
+        finally:
+            # ...and the composite-#SCORE postings it cached (pinned in
+            # Spark's CacheManager, NOT released by Python GC of the AST)
+            # can be dropped. `scores()` callers own their own lifecycle:
+            # call ctx.release_caches() after collecting.
+            self.ctx.release_caches()
 
     def run_trec(self, queries: list[tuple[str, str]], k: int = TOP_K) -> list[str]:
         """[(qid, text)] -> TREC run lines (with empty-result dummy rows)."""

@@ -21,7 +21,9 @@ def parse_trec_run(lines) -> dict[str, list[tuple[str, float]]]:
         line = line.strip()
         if not line:
             continue
-        parts = line.split(" ")
+        # whitespace-delimited like the reference's Scanner tokenization —
+        # column-aligned runs use multiple spaces / tabs between fields
+        parts = line.split()
         qid, ext_id, score = parts[0], parts[2], float(parts[4])
         out.setdefault(qid, []).append((ext_id, score))
     return out

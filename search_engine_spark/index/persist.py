@@ -68,6 +68,7 @@ from pyspark.sql import types as T
 from search_engine_spark.index.build import CorpusStats, IndexTables
 from search_engine_spark.index.codec import (
     BLOCK_SIZE,
+    delta_encode,
     encode_blocks,
     positions_byte_lengths,
     positions_pack_flat,
@@ -207,8 +208,6 @@ def _segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
                     pos_bytes, _ = positions_pack_flat(
                         np.asarray(p_, dtype=np.int64), tf
                     )
-                    from search_engine_spark.index.codec import delta_encode
-
                     rows.append(
                         (
                             t, fld, int(d.size), int(d[0]), int(d[-1]),
@@ -303,6 +302,14 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
         """Zero-copy binary column: per-term byte slices of a bulk-encoded
         stream are contiguous AND adjacent, so the term-boundary offsets over
         the original buffer ARE the Arrow offsets — no per-term slicing."""
+        if off.size and int(off[-1]) > np.iinfo(np.int32).max:
+            # pa.binary() offsets are int32: a >2GiB per-chunk stream would
+            # silently wrap into a corrupt column. Never seen at the default
+            # chunking (ARROW_CHUNK_DOCS); fail loudly instead of corrupting.
+            raise ValueError(
+                f"segment chunk stream is {int(off[-1])} bytes (> int32 "
+                "offset range) — lower ARROW_CHUNK_DOCS / input batch size"
+            )
         return pa.Array.from_buffers(
             pa.binary(),
             off.size - 1,

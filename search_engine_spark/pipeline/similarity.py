@@ -181,6 +181,10 @@ def embedding_near_dups(
             f"band{j}",
             F.shiftright(F.col("sketch"), j * width).bitwiseAND(F.lit(mask)),
         )
+    # cached because the banded self-join scans it 2x bands times; the
+    # cache entry lives until the caller's action completes — repeated
+    # invocations in one session should sk.unpersist() between calls
+    # (lazy return: this function cannot do it itself)
     sk = sk.cache()
     a = sk.alias("a")
     b = sk.alias("b")

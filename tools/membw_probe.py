@@ -27,7 +27,9 @@ SECS = 3.0
 
 
 def _worker(cpu: int, barrier: "mp.Barrier", q: mp.Queue) -> None:
-    os.sched_setaffinity(0, {cpu})
+    # wrap around the CPU count: a worker that died in sched_setaffinity
+    # (level > nproc) would leave the barrier and q.get() waiting forever
+    os.sched_setaffinity(0, {cpu % os.cpu_count()})
     src = np.ones(MB * 1024 * 1024, dtype=np.uint8)
     dst = np.empty_like(src)
     np.copyto(dst, src)  # prefault both buffers before the timed window
@@ -48,7 +50,8 @@ def measure(n_procs: int) -> float:
     procs = [mp.Process(target=_worker, args=(i, barrier, q)) for i in range(n_procs)]
     for p in procs:
         p.start()
-    total = sum(q.get() for _ in procs)
+    # bounded wait: a crashed worker must surface as an error, not a hang
+    total = sum(q.get(timeout=SECS * 10 + 30) for _ in procs)
     for p in procs:
         p.join()
     return total
