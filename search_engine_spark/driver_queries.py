@@ -220,6 +220,14 @@ def load_packed_documents_index(spark: SparkSession, sf_dir: str):
         pidx.doc_ids = pidx.doc_ids.select(
             "docid", F.col("ext_docid").cast("long").alias("ext_docid")
         )
+        # pin the small dimension tables hot (a query server keeps the
+        # dictionary resident; doc_ids is broadcast by every rank_topk and
+        # term_stats is probed per query) — packed postings stay on disk,
+        # which is the part that matters at 100 TB
+        for small in ("doc_ids", "term_stats", "doc_stats"):
+            df = getattr(pidx, small).cache()
+            df.count()
+            setattr(pidx, small, df)
         _INDEX_CACHE[key] = pidx
     return _INDEX_CACHE[key]
 

@@ -51,8 +51,79 @@ class Engine:
         ast = self.parse(query)
         return evaluate(ast, self.ctx, self.default_field)
 
+    # populated by the block-max pruned path after each search that used it
+    last_prune_stats = None
+
+    def _pruned_topk(self, query: str, k: int) -> DataFrame | None:
+        """Default block-max pruned path for flat BM25 #SUM over a packed
+        index (SURVEY.md §4.2; engine/pruning.py — bit-identical to the
+        exact plan, identity-tested). Applies only when the shape matches
+        (single field, distinct terms — duplicate query terms carry a
+        multiplicity weight the pruned scorer doesn't model) AND the index
+        is big enough for pruning to pay: below ``min_blocks`` total blocks
+        the exact single-scan plan is cheaper than the metadata round-trip
+        (the gate that matters at 100 TB is automatic — df/block_size rows
+        per term). ``SPARK_GRAFT_NO_PRUNE=1`` forces the exact plan;
+        ``SPARK_GRAFT_PRUNE_MIN_BLOCKS`` overrides the gate."""
+        import os
+
+        from search_engine_spark.config import BM25
+
+        if os.environ.get("SPARK_GRAFT_NO_PRUNE") == "1":
+            return None
+        if self.model.name != BM25:
+            return None
+        from search_engine_spark.index.persist import PackedIndex
+
+        if not isinstance(self.index, PackedIndex):
+            return None
+        from search_engine_spark.engine.compiler import _flat_term_leaves
+        from search_engine_spark.engine.ops import (
+            IlNode, ScoreNode, SumNode, TermNode,
+        )
+
+        node = compile_node(self.parse(query), self.ctx, self.default_field)
+        if isinstance(node, IlNode):
+            node = ScoreNode(node)
+        if isinstance(node, ScoreNode) and isinstance(node.child, TermNode):
+            leaves = [node.child]
+        elif isinstance(node, SumNode):
+            leaves = _flat_term_leaves(node)
+            if leaves is None:
+                return None
+        else:
+            return None
+        terms = [l.term for l in leaves]
+        fields = {l.field for l in leaves}
+        if len(fields) != 1 or len(set(terms)) != len(terms):
+            return None
+        fld = next(iter(fields))
+
+        block_size = getattr(self.index, "block_size", 0)
+        if block_size:
+            self.ctx.prefetch_terms({(t, fld) for t in terms})
+            est_blocks = sum(
+                -(-self.ctx.term_stat(t, fld)[0] // block_size) for t in terms
+            )
+            if est_blocks < int(
+                os.environ.get("SPARK_GRAFT_PRUNE_MIN_BLOCKS", "64")
+            ):
+                return None
+
+        from search_engine_spark.engine.pruning import PruneStats, bm25_topk_pruned
+
+        st = PruneStats()
+        res = bm25_topk_pruned(
+            self.index, terms, k=k, fld=fld, p=self.model.bm25, stats=st
+        )
+        self.last_prune_stats = st
+        return res
+
     def search(self, query: str, k: int = TOP_K) -> DataFrame:
         """query text -> top-k (rank, docid, ext_docid, score)."""
+        pruned = self._pruned_topk(query, k)
+        if pruned is not None:
+            return pruned
         try:
             # rank_topk collects the ≤k survivors, so the query's action
             # completes inside this call...

@@ -1134,6 +1134,8 @@ class PackedIndex(IndexTables):
             st = json.load(f)
         man = Manifest(os.path.join(out_dir, "manifest.json"))
         self.n_buckets = int(man.data["lineage"]["n_buckets"])
+        # block size drives the query-side pruning gate (runner._pruned_topk)
+        self.block_size = int(man.data["lineage"].get("block_size", BLOCK_SIZE))
         packed = spark.read.parquet(f"{out_dir}/packed")
         super().__init__(
             doc_ids=spark.read.parquet(f"{out_dir}/doc_ids"),
