@@ -39,9 +39,9 @@ from search_engine_spark.engine.letor import (
     JAVA_DOUBLE_MAX,
     JAVA_DOUBLE_MIN,
     LetorConfig,
-    classify,
-    letor_features,
-    normalize_features,
+    classify_local,
+    letor_features_local,
+    normalize_features_local,
 )
 from search_engine_spark.engine.runner import Engine
 from search_engine_spark.driver_queries import SQL_PRELUDE, load_documents_index
@@ -98,38 +98,42 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _normalized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _normalized_rows(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Candidate search -> normalized feature rows via the single-query fast
+    path (engine/letor.py letor_features_local — expression-identical to the
+    distributed letor_features, parity-asserted in tests/test_letor.py)."""
     idx = load_documents_index(spark, sf_dir)
     eng = Engine(idx, ModelConfig(name=BM25))
     cands = [r["docid"] for r in eng.search(LETOR_QUERY, 100).collect()]
-    raw = letor_features(
+    raw = letor_features_local(
         spark, idx, QTOKENS, cands, _CFG,
         docs_meta=_docs_meta(spark, sf_dir), f1_col="n_chars", url_col="url",
         pagerank=_pagerank(spark, sf_dir),
     )
-    return normalize_features(raw, _CFG.disable)
+    return normalize_features_local(raw, _CFG.disable)
 
 
 def q_letor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = _normalized_features(spark, sf_dir)
-    f32 = lambda c: F.col(c).cast("float").cast("double").alias(c)  # noqa: E731
-    return norm.select(
-        F.col("docid").cast("long").alias("docid"),
-        *[f32(c) for c in FEATURE_COLS],
-    )
+    import numpy as np
+
+    rows = _normalized_rows(spark, sf_dir)
+    data = [
+        tuple([r["docid"]] + [float(np.float32(r[c])) for c in FEATURE_COLS])
+        for r in rows
+    ]
+    schema = "docid long, " + ", ".join(f"{c} double" for c in FEATURE_COLS)
+    return spark.createDataFrame(data, schema)
 
 
 def q_letor_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = _normalized_features(spark, sf_dir)
-    scored = classify(norm, WEIGHTS)
-    s32 = F.col("score").cast("float").cast("double")
-    rows = (
-        scored.select(F.col("docid").cast("long").alias("docid"), s32.alias("score"))
-        .orderBy(F.desc("score"), F.asc("docid"))
-        .limit(100)
-        .collect()
-    )
-    data = [(i + 1, r["docid"], r["score"]) for i, r in enumerate(rows)]
+    import numpy as np
+
+    rows = classify_local(_normalized_rows(spark, sf_dir), WEIGHTS)
+    ranked = sorted(
+        ((float(np.float32(r["score"])), r["docid"]) for r in rows),
+        key=lambda sr: (-sr[0], sr[1]),
+    )[:100]
+    data = [(i + 1, d, s) for i, (s, d) in enumerate(ranked)]
     return spark.createDataFrame(data, "rank int, docid long, score double")
 
 

@@ -338,6 +338,268 @@ def letor_rerank(
     return rank_topk(scored, index.doc_ids, k)
 
 
+# --------------------------------------------------------------------------
+# single-query fast path
+# --------------------------------------------------------------------------
+#
+# The distributed letor_features above accretes one broadcast join per field
+# slot + doclen + meta + pagerank and normalize_features adds a stats agg —
+# ~10 chained Spark jobs for a candidate set that is ≤100 rows BY CONSTRUCTION
+# (QryEval.java:424's min(100, n) cut). The reference itself computes every
+# feature driver-side per doc (FeatureVector.java walks TermVectors in plain
+# Java); the only genuinely distributed work is FETCHING the per-doc stats.
+# This path keeps that split: ONE fused postings scan over every (term, slot)
+# pair + one doc_stats scan + the meta/pagerank lookups, collected
+# concurrently, then the ≤100-row feature algebra / min-max normalization /
+# linear classify in plain Python with EXPRESSION-IDENTICAL association to
+# the column expressions above (asserted equal in tests/test_letor.py), so
+# results stay bitwise interchangeable with the distributed path.
+
+
+def letor_features_local(
+    spark: SparkSession,
+    index: IndexTables,
+    qtokens: list[str],
+    docids: list[int],
+    cfg: LetorConfig,
+    docs_meta: DataFrame | None = None,
+    f1_col: str | None = None,
+    url_col: str | None = None,
+    pagerank: DataFrame | None = None,
+) -> list[dict]:
+    """RAW feature rows [{docid, f1..f18}] — same semantics as
+    ``letor_features`` (see module docstring), computed driver-side from
+    concurrently-collected per-doc stats."""
+    if not docids:
+        raise ValueError("empty candidate set")
+    ctx = EvalContext(index, ModelConfig())
+    n_docs = index.corpus.n_docs
+    qlen = len(qtokens)
+    distinct_tokens = list(dict.fromkeys(qtokens))
+    slot_fields = [
+        f for f in cfg.fields4 if f is not None and f in index.corpus.by_field
+    ]
+    pairs = [(t, f) for f in dict.fromkeys(slot_fields) for t in distinct_tokens]
+    if pairs:
+        ctx.prefetch_terms(set(pairs))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch_tf():
+        if not pairs:
+            return {}
+        rows = (
+            index.postings_for(pairs)
+            .where(F.col("docid").isin(docids))
+            .select("docid", "field", "term", "tf")
+            .collect()
+        )
+        return {(r["docid"], r["field"], r["term"]): float(r["tf"]) for r in rows}
+
+    def fetch_dl():
+        if not slot_fields:
+            return {}
+        rows = (
+            index.doc_stats.where(
+                F.col("field").isin(slot_fields) & F.col("docid").isin(docids)
+            )
+            .select("docid", "field", "doclen")
+            .collect()
+        )
+        return {(r["docid"], r["field"]): float(r["doclen"]) for r in rows}
+
+    def fetch_meta():
+        if docs_meta is None:
+            return {}
+        cols = ["docid"] + [c for c in (f1_col, url_col) if c]
+        rows = (
+            docs_meta.select(*cols).where(F.col("docid").isin(docids)).collect()
+        )
+        return {r["docid"]: r.asDict() for r in rows}
+
+    def fetch_pr():
+        if pagerank is None:
+            return {}
+        rows = (
+            pagerank.select("docid", "pagerank")
+            .where(F.col("docid").isin(docids))
+            .collect()
+        )
+        return {r["docid"]: r["pagerank"] for r in rows}
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_tf = pool.submit(fetch_tf)
+        f_dl = pool.submit(fetch_dl)
+        f_meta = pool.submit(fetch_meta)
+        f_pr = pool.submit(fetch_pr)
+        tf_map, dl_map, meta_map, pr_map = (
+            f_tf.result(), f_dl.result(), f_meta.result(), f_pr.result(),
+        )
+
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    mu, lam = cfg.indri.mu, cfg.indri.lam
+    out_rows: list[dict] = []
+    for d in docids:
+        d = int(d)
+        meta = meta_map.get(d, {})
+        feat: dict[str, float] = {}
+        # f1-f4 (doc-meta features; see letor_features)
+        v1 = meta.get(f1_col) if f1_col else None
+        feat["f1"] = float(v1) if v1 is not None else NAN
+        url = meta.get(url_col) if url_col else None
+        if url_col:
+            feat["f2"] = float(url.count("/")) if url is not None else 0.0
+            feat["f3"] = (
+                (1.0 if "wikipedia.org" in url.lower() else 0.0)
+                if url is not None
+                else 0.0
+            )
+        else:
+            feat["f2"] = 0.0
+            feat["f3"] = 0.0
+        if pagerank is not None:
+            pr = pr_map.get(d)
+            feat["f4"] = float(pr) if pr is not None else NAN
+        else:
+            feat["f4"] = NAN
+
+        for slot, fld in enumerate(cfg.fields4):
+            fnums = (5 + 3 * slot, 6 + 3 * slot, 7 + 3 * slot)
+            if fld is None or fld not in index.corpus.by_field:
+                for fn in fnums:
+                    feat[f"f{fn}"] = NAN
+                continue
+            dl = dl_map.get((d, fld))
+            tv_exists = dl is not None
+
+            def tf_of(t: str) -> float | None:
+                return tf_map.get((d, fld, t))
+
+            avgdl = index.corpus.avgdl(fld)
+            c_len = float(index.corpus.sum_doclen(fld))
+
+            # BM25: sorted-distinct fold, unclamped idf (letor_features)
+            if tv_exists:
+                acc = 0.0
+                for t in sorted(set(distinct_tokens)):
+                    df_t, _ = ctx.term_stat(t, fld)
+                    if df_t == 0:
+                        continue
+                    tf = tf_of(t)
+                    if tf is not None:
+                        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5))
+                        acc = acc + idf * (
+                            tf / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+                        )
+                    else:
+                        acc = acc + 0.0
+                feat[f"f{fnums[0]}"] = acc
+            else:
+                feat[f"f{fnums[0]}"] = NAN
+
+            # Indri: token-position fold, defaults for missing tokens
+            if tv_exists:
+                prod = 1.0
+                any_present = False
+                for t in qtokens:
+                    _, ctf_t = ctx.term_stat(t, fld)
+                    mle = ctf_t / c_len
+                    tf0 = tf_of(t)
+                    present = tf0 is not None
+                    tf0 = tf0 if present else 0.0
+                    s = (1.0 - lam) * (tf0 + mu * mle) / (dl + mu) + lam * mle
+                    prod = prod * math.pow(s, 1.0 / qlen)
+                    any_present = any_present or present
+                feat[f"f{fnums[1]}"] = prod if any_present else 0.0
+            else:
+                feat[f"f{fnums[1]}"] = NAN
+
+            # term overlap over token positions
+            if tv_exists:
+                cnt = 0.0
+                for t in qtokens:
+                    cnt = cnt + (1.0 if tf_of(t) is not None else 0.0)
+                feat[f"f{fnums[2]}"] = cnt / float(qlen)
+            else:
+                feat[f"f{fnums[2]}"] = NAN
+
+            if slot == 0:
+                if tv_exists:
+                    acc17 = 0.0
+                    for t in qtokens:
+                        df_t, _ = ctx.term_stat(t, fld)
+                        if df_t == 0:
+                            acc17 = acc17 + 0.0
+                            continue
+                        tf = tf_of(t)
+                        acc17 = acc17 + (
+                            tf * math.log((n_docs + 1.0) / df_t)
+                            if tf is not None
+                            else 0.0
+                        )
+                    feat["f17"] = acc17
+                    num, den = 0.0, 1.0
+                    for t in qtokens:
+                        tf = tf_of(t)
+                        if tf is not None:
+                            num = num + (math.log(tf) + 1.0)
+                            den = den + (math.log(dl) + 1.0)
+                        else:
+                            num = num + 0.0
+                            den = den + 0.0
+                    feat["f18"] = num / den
+                else:
+                    feat["f17"] = NAN
+                    feat["f18"] = NAN
+
+        if "f17" not in feat:
+            feat["f17"] = NAN
+            feat["f18"] = NAN
+        for j in cfg.disable:
+            feat[f"f{j}"] = NAN
+        out_rows.append({"docid": d, **{c: feat[c] for c in FEATURE_COLS}})
+    return out_rows
+
+
+def normalize_features_local(
+    rows: list[dict], disable: frozenset = frozenset()
+) -> list[dict]:
+    """Driver-side twin of ``normalize_features`` (same Java init quirk)."""
+    out = [dict(r) for r in rows]
+    for c in FEATURE_COLS:
+        j = int(c[1:])
+        if j in disable:
+            for r in out:
+                r[c] = 0.0
+            continue
+        vals = [r[c] for r in out if not math.isnan(r[c])]
+        mx = max(max(vals), JAVA_DOUBLE_MIN) if vals else JAVA_DOUBLE_MIN
+        mn = min(min(vals), JAVA_DOUBLE_MAX) if vals else JAVA_DOUBLE_MAX
+        for r in out:
+            x = r[c]
+            if mx == mn:
+                r[c] = 0.0
+            elif math.isnan(x):
+                r[c] = 0.0
+            else:
+                r[c] = (x - mn) / (mx - mn)
+    return out
+
+
+def classify_local(rows: list[dict], weights: list[float]) -> list[dict]:
+    """Driver-side twin of ``classify``: w·x left-fold, NaN -> 0.0."""
+    if len(weights) != N_FEATURES:
+        raise ValueError(f"need {N_FEATURES} weights")
+    out = []
+    for r in rows:
+        acc = 0.0
+        for w, c in zip(weights, FEATURE_COLS):
+            acc = acc + float(w) * r[c]
+        score = 0.0 if math.isnan(acc) else acc
+        out.append({"docid": r["docid"], "score": score})
+    return out
+
+
 def svmrank_lines(
     norm_feats_rows: list, qid: str, labels: dict | None = None
 ) -> list[str]:

@@ -263,6 +263,50 @@ def test_train_and_rerank_smoke(spark, code_index, letor_setup):
     assert len(res) == len(cands) and all(not math.isnan(r["score"]) for r in res)
 
 
+def test_letor_local_path_equals_distributed(spark, code_index, letor_setup):
+    """The single-query fast path (letor_features_local + normalize_features_
+    local + classify_local) must match the distributed column-expression path
+    up to log/pow ulps (JVM StrictMath vs libm — the driver-gate oracle
+    compares the local path against DuckDB's libm bitwise after f32
+    rounding); fold order is identical so everything else is exact."""
+    from search_engine_spark.engine.letor import (
+        classify_local, letor_features_local, normalize_features_local,
+    )
+
+    eng, cands, _nchars, _urls, _pagerank, docs_meta, pr_df = letor_setup
+    disable = frozenset({4, 11})
+    cfg = LetorConfig(fields4=FIELDS4, disable=disable)
+    dist_raw = _spark_features(spark, code_index, cands, docs_meta, pr_df, cfg)
+    dist = {
+        r["docid"]: [r[c] for c in FEATURE_COLS]
+        for r in normalize_features(dist_raw, disable).collect()
+    }
+    loc_raw = letor_features_local(
+        spark, code_index, QTOKENS, cands, cfg,
+        docs_meta=docs_meta, f1_col="nchars", url_col="url", pagerank=pr_df,
+    )
+    loc = {
+        r["docid"]: [r[c] for c in FEATURE_COLS]
+        for r in normalize_features_local(loc_raw, disable)
+    }
+    assert set(dist) == set(loc)
+    for d in cands:
+        for j in range(18):
+            assert _close(dist[d][j], loc[d][j]), (d, j + 1, dist[d][j], loc[d][j])
+
+    weights = [((j * 37) % 11 - 5) / 7.0 for j in range(18)]
+    dist_scores = {
+        r["docid"]: r["score"]
+        for r in classify(normalize_features(dist_raw, disable), weights).collect()
+    }
+    loc_scores = {
+        r["docid"]: r["score"]
+        for r in classify_local(normalize_features_local(loc_raw, disable), weights)
+    }
+    assert set(dist_scores) == set(loc_scores)
+    assert all(_close(dist_scores[d], loc_scores[d]) for d in dist_scores)
+
+
 # ---------------------------------------------------------------------------
 # S6: initial-ranking source feeding PRF
 # ---------------------------------------------------------------------------
