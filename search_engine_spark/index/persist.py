@@ -5,21 +5,28 @@ The production-scale pipeline (SURVEY.md §4.2, north_rule). Layout under
 
     doc_ids/            parquet  docid, ext_docid (+ natural-key columns)
     doc_stats/          parquet  docid, field, doclen
-    segments/           parquet  partitioned by bucket=pmod(xxhash64(term), B)
-                                 — per-partition index SEGMENTS: one row per
+    segments/           parquet  per-partition index SEGMENTS: one row per
                                  (doc-chunk, field, term) holding that
                                  chunk's postings as raw LE int bytes +
-                                 merge metadata; marker rows (bucket=-1)
-                                 carry per-chunk (docid, doclen) pairs
+                                 merge metadata; marker rows carry
+                                 per-chunk (docid, doclen) pairs.
+                                 Batch layout: flat terms-*/markers-* files
+                                 listed in _manifest.json (python-side
+                                 writes, Iceberg-style manifest commit);
+                                 streaming layout: batch=<id>/bucket=<b>/
+                                 partitions (marker rows at bucket=-1)
     term_stats/         parquet  term, field, df, ctf, bucket
-    packed/             parquet  partitioned by bucket: one row per posting
-                                 BLOCK — term, field, salt, block_id, n,
-                                 min_docid, max_docid, max_tf, min_doclen
-                                 (block-max metadata, plain columns) +
-                                 docids/tfs/doclens/positions (delta-gap +
-                                 varint binary). Column pruning means a
-                                 metadata-only read never touches the
-                                 binary columns.
+    packed/             parquet  one row per posting BLOCK — term, field,
+                                 salt, block_id, n, min_docid, max_docid,
+                                 max_tf, min_doclen (block-max metadata,
+                                 plain columns) + docids/tfs/doclens/
+                                 positions (delta-gap + varint binary).
+                                 Column pruning means a metadata-only read
+                                 never touches the binary columns.
+                                 Batch layout: packed-* files listed in
+                                 _manifest.json, term-sorted so row-group
+                                 stats prune term scans; legacy layout:
+                                 bucket=<b>/ partitions
     corpus_stats.json   tiny per-field aggregates (N, sum_doclen, avgdl)
     manifest.json       lineage + per-stage/per-bucket completion + counters
 
@@ -276,6 +283,15 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
     chunk boundaries differ from the python kernel (batch-sized, not 512),
     which is invisible after the merge pass — equivalence of the final index
     is asserted in tests/test_index_format.py."""
+    cols = ["docid", "ext_docid"] + sorted({src for _, src in cfg.fields.items()})
+    return docs.select(*cols).mapInArrow(_arrow_kernel_gen(cfg), SEGMENT_SCHEMA)
+
+
+def _arrow_kernel_gen(cfg: BuildConfig):
+    """The Arrow segment kernel as a standalone generator factory (worker-
+    side), shared by ``_segment_rows_arrow`` (JVM parquet write — the
+    streaming ingest path) and ``_segment_writer_rows`` (python-side parquet
+    write with manifest-listed commit — the batch path)."""
     import pyarrow as pa
 
     flds = list(cfg.fields.items())
@@ -482,8 +498,7 @@ def _segment_rows_arrow(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
                 schema=arrow_schema,
             )
 
-    cols = ["docid", "ext_docid"] + sorted({src for _, src in flds})
-    return docs.select(*cols).mapInArrow(gen, SEGMENT_SCHEMA)
+    return gen
 
 
 def segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
@@ -492,6 +507,186 @@ def segment_rows(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
     if cfg.kernel == "arrow":
         return _segment_rows_arrow(docs, cfg)
     return _segment_rows(docs, cfg)
+
+
+# --------------------------------------------------------------------------
+# python-side parquet writes with manifest-listed commit (Iceberg-style)
+# --------------------------------------------------------------------------
+#
+# The r02 executor-cluster scaling sweep isolated a ~6-9 s serial tail —
+# driver scheduling + the JVM FileOutputCommitter's rename pass + the
+# stats barrier (BENCH_SCALING.md "Warm executor-cluster size sweep").
+# Two of the three shrink here:
+#
+# - The segment/packed payloads are written by the PYTHON workers
+#   themselves (pyarrow.parquet, one file per task, row groups flushed
+#   every ~128 MB): the index-sized binary columns never cross the
+#   Python->JVM Arrow boundary (the measured IPC contention point on this
+#   host) and the JVM writer/committer never touches them. Tasks return
+#   only (file, rows) manifest rows.
+# - Commit is a MANIFEST LISTING, not a directory state: the driver writes
+#   `_manifest.json` naming exactly the files the succeeded tasks reported.
+#   Readers read the listed files only, so a crashed attempt's orphans are
+#   invisible (same correctness argument as Iceberg's manifest lists) and
+#   there is no O(files) driver-side rename pass.
+#
+# Marker rows (doc_ids/doc_stats payloads) go to a SEPARATE file set so the
+# stats phase reads only marker bytes — the manifest-layout equivalent of
+# the legacy bucket=-1 partition pruning. On a real cluster the same writer
+# targets the object store via pyarrow.fs; locally it is the shared FS.
+
+
+class _TaskParquetWriter:
+    """Buffered per-task parquet writer: lazily opens the file on first
+    row, flushes a row group every ~128 MB of Arrow buffers, and returns
+    the row count on close (0 rows -> no file is ever created)."""
+
+    FLUSH_BYTES = 128 << 20
+
+    def __init__(self, path: str):
+        self.path = path
+        self._buf: list = []
+        self._nbytes = 0
+        self.rows = 0
+        self._writer = None
+
+    def write(self, rb) -> None:
+        if rb.num_rows == 0:
+            return
+        self._buf.append(rb)
+        self._nbytes += rb.nbytes
+        self.rows += rb.num_rows
+        if self._nbytes >= self.FLUSH_BYTES:
+            self._flush()
+
+    def _flush(self) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not self._buf:
+            return
+        tbl = pa.Table.from_batches(self._buf)
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(
+                self.path, tbl.schema, compression="snappy"
+            )
+        self._writer.write_table(tbl)
+        self._buf, self._nbytes = [], 0
+
+    def close(self) -> int:
+        self._flush()
+        if self._writer is not None:
+            self._writer.close()
+        return self.rows
+
+
+def _task_tag() -> str:
+    import uuid
+
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else 0
+    return f"{pid:05d}-{uuid.uuid4().hex[:12]}"
+
+
+WRITER_SCHEMA = "kind string, file string, rows long"
+
+
+def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> DataFrame:
+    """Segment pass with python-side parquet write: each task runs the Arrow
+    kernel and writes its term rows / marker rows to its own two files under
+    ``seg_dir``, returning (kind, file, rows) manifest rows."""
+    inner = _arrow_kernel_gen(cfg)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tag = _task_tag()
+        sinks: dict = {}
+
+        def sink(kind: str) -> _TaskParquetWriter:
+            if kind not in sinks:
+                fname = f"{kind}-{tag}.parquet"
+                sinks[kind] = (_TaskParquetWriter(os.path.join(seg_dir, fname)), fname)
+            return sinks[kind][0]
+
+        mset = pa.array(MARKER_TERMS)
+        for rb in inner(batches):
+            mask = pc.is_in(rb.column(0), value_set=mset)
+            n_m = pc.sum(mask).as_py() or 0
+            if n_m == 0:
+                sink("terms").write(rb)
+            elif n_m == rb.num_rows:
+                sink("markers").write(rb)
+            else:
+                sink("markers").write(rb.filter(mask))
+                sink("terms").write(rb.filter(pc.invert(mask)))
+        out = [(k, f, w.close()) for k, (w, f) in sinks.items()]
+        out = [(k, f, n) for k, f, n in out if n]
+        if out:
+            ks, fs, ns = zip(*out)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(ks)), pa.array(list(fs)),
+                 pa.array(list(ns), type=pa.int64())],
+                names=["kind", "file", "rows"],
+            )
+
+    cols = ["docid", "ext_docid"] + sorted({src for _, src in cfg.fields.items()})
+    return docs.select(*cols).mapInArrow(gen, WRITER_SCHEMA)
+
+
+def _packed_writer_rows(
+    part_df: DataFrame, n_salts: int, max_docid: int, block_size: int, pk_dir: str
+) -> DataFrame:
+    """Merge pass with python-side parquet write: each shuffle partition
+    merges its (term, field, salt) groups (sorted by key, so parquet
+    row-group min/max stats on `term` prune query scans) and writes one
+    packed file, returning (kind, file, rows) manifest rows."""
+    inner = make_merge_partition(n_salts, max_docid, block_size)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        fname = f"packed-{_task_tag()}.parquet"
+        w = _TaskParquetWriter(os.path.join(pk_dir, fname))
+        for rb in inner(batches):
+            w.write(rb)
+        n = w.close()
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(["packed"]), pa.array([fname]),
+                 pa.array([n], type=pa.int64())],
+                names=["kind", "file", "rows"],
+            )
+
+    return part_df.mapInArrow(gen, WRITER_SCHEMA)
+
+
+def _write_side_manifest(dir_path: str, data: dict) -> None:
+    tmp = os.path.join(dir_path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(dir_path, "_manifest.json"))
+
+
+def _side_manifest(dir_path: str) -> dict | None:
+    p = os.path.join(dir_path, "_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _read_listed(spark: SparkSession, dir_path: str, names: list, schema) -> DataFrame:
+    """Read exactly the manifest-listed files (uncommitted orphans stay
+    invisible); the explicit schema avoids an inference job."""
+    if not names:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(dir_path, n) for n in names]
+    )
 
 
 def _gather_runs(flat: np.ndarray, lengths: np.ndarray, order: np.ndarray) -> np.ndarray:
@@ -640,9 +835,12 @@ def make_merge_partition(n_salts: int, max_docid: int, block_size: int):
         if tbl.num_rows == 0:
             return
         pdf = tbl.to_pandas()
+        # sort=True: groups (hence output rows) leave in (term, field, salt)
+        # order, so each parquet row group's term min/max stats are tight and
+        # the manifest-layout query scan prunes on the pushed term predicate
         outs = [
             merge_group(g)
-            for _, g in pdf.groupby(["term", "field", "salt"], sort=False)
+            for _, g in pdf.groupby(["term", "field", "salt"], sort=True)
         ]
         res = pd.concat(outs, ignore_index=True)
         out_tbl = pa.Table.from_pandas(res, schema=schema, preserve_index=False)
@@ -715,12 +913,64 @@ def _config_echo(cfg: BuildConfig) -> dict:
 
 
 def read_segments(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The segments table normalized to SEGMENT_SCHEMA + bucket. Streaming
-    ingest lays segments out as batch=<id>/bucket=<b>/ (per-batch idempotent
-    overwrite); partition discovery then adds a `batch` column that the
-    stats/merge phases must not see."""
-    df = spark.read.parquet(f"{out_dir}/segments")
+    """The segments table normalized to SEGMENT_SCHEMA + bucket, across both
+    layouts:
+
+    - manifest layout (batch build): flat ``terms-*/markers-*`` files listed
+      in ``segments/_manifest.json``; bucket is COMPUTED at read time
+      (pmod(xxhash64(term), B) — the scan reads term anyway).
+    - legacy partition layout (streaming ingest: batch=<id>/bucket=<b>/
+      per-batch idempotent overwrite): partition discovery adds a `batch`
+      column that the stats/merge phases must not see."""
+    seg_dir = f"{out_dir}/segments"
+    man = _side_manifest(seg_dir)
+    if man is not None:
+        df = _read_listed(
+            spark, seg_dir, man["files"] + man["marker_files"], SEGMENT_SCHEMA
+        )
+        bucket = F.when(F.col("term").isin(MARKER_TERMS), F.lit(-1)).otherwise(
+            _bucket_col(F.col("term"), man["n_buckets"])
+        )
+        return df.withColumn("bucket", bucket)
+    df = spark.read.parquet(seg_dir)
     return df.select(*[f.name for f in SEGMENT_SCHEMA], "bucket")
+
+
+def read_segment_markers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Marker rows only (doc_ids/doc_stats payloads) — file-pruned under the
+    manifest layout, partition-pruned (bucket=-1) under the legacy one."""
+    seg_dir = f"{out_dir}/segments"
+    man = _side_manifest(seg_dir)
+    if man is not None:
+        return _read_listed(
+            spark, seg_dir, man["marker_files"], SEGMENT_SCHEMA
+        ).withColumn("bucket", F.lit(-1))
+    return read_segments(spark, out_dir).where(F.col("bucket") == -1)
+
+
+def read_segment_terms(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Posting-segment rows only (no markers), both layouts."""
+    seg_dir = f"{out_dir}/segments"
+    man = _side_manifest(seg_dir)
+    if man is not None:
+        return _read_listed(spark, seg_dir, man["files"], SEGMENT_SCHEMA).withColumn(
+            "bucket", _bucket_col(F.col("term"), man["n_buckets"])
+        )
+    return read_segments(spark, out_dir).where(F.col("bucket") >= 0)
+
+
+def read_packed(spark: SparkSession, out_dir: str) -> tuple[DataFrame, bool]:
+    """The packed-blocks table across both layouts. Returns (df, bucketed):
+    ``bucketed`` is True under the legacy ``bucket=<b>/`` partition layout
+    (per-bucket resume builds, pre-manifest indexes) where queries prune by
+    the bucket partition column; under the manifest layout pruning comes
+    from the pushed term predicate against per-row-group term min/max stats
+    (merge output is sorted by term within each file)."""
+    pk_dir = f"{out_dir}/packed"
+    man = _side_manifest(pk_dir)
+    if man is not None:
+        return _read_listed(spark, pk_dir, man["files"], PACKED_SCHEMA), False
+    return spark.read.parquet(pk_dir), True
 
 
 def observed_segment_rows(docs: DataFrame, cfg: BuildConfig, obs_name: str):
@@ -822,12 +1072,46 @@ def build_persistent_index(
     # that the stats stage decodes.
     if not man.stage_done("segments"):
         t_stage = time.time()
-        obs, segs = observed_segment_rows(docs, cfg, "lineage")
-        # map-side partitioned write: every task writes its own per-bucket
-        # files; no shuffle anywhere in the segment pass
-        segs.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{out}/segments"
-        )
+        if cfg.kernel == "arrow":
+            # python-side parquet write + manifest-listed commit (see the
+            # writer section above): the index-sized binary never re-crosses
+            # the Python->JVM boundary and there is no committer rename pass.
+            # New segments invalidate any packed output a prior build left in
+            # this out_dir (incl. a stale packed _manifest.json, which would
+            # otherwise be mistaken for a completed merge on resume).
+            import shutil
+
+            seg_dir = f"{out}/segments"
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            shutil.rmtree(f"{out}/packed", ignore_errors=True)
+            os.makedirs(seg_dir)
+            from pyspark.sql import Observation
+
+            obs = Observation("lineage")
+            observed = docs.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.bit_xor(F.xxhash64("ext_docid")).alias("fp"),
+            )
+            wrows = _segment_writer_rows(observed, cfg, seg_dir).collect()
+            _write_side_manifest(
+                seg_dir,
+                {
+                    "format": 1,
+                    "n_buckets": cfg.n_buckets,
+                    "files": sorted(r["file"] for r in wrows if r["kind"] == "terms"),
+                    "marker_files": sorted(
+                        r["file"] for r in wrows if r["kind"] == "markers"
+                    ),
+                },
+            )
+        else:
+            # python reference kernel: JVM partitioned write (the layout the
+            # streaming ingest also uses); map-side partitionBy, no shuffle
+            obs, segs = observed_segment_rows(docs, cfg, "lineage")
+            segs.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{out}/segments"
+            )
         m = obs.get
         n_docs = int(m["n_docs"])
         fp = f"{m['fp']:x}" if n_docs else "empty"
@@ -838,17 +1122,21 @@ def build_persistent_index(
             segments_sec=round(time.time() - t_stage, 2),
         )
 
-    segments = read_segments(spark, out)
+    import threading
+
+    man_lock = threading.Lock()
 
     # ---- stage: doc_ids + doc_stats + term_stats + corpus_stats ---------
     # Three small independent writes over the segments table, submitted
     # CONCURRENTLY (Spark schedules the jobs side by side): doc_ids and
-    # doc_stats decode only the tiny marker partition (bucket=-1), term_stats
-    # aggregates segment metadata columns. Corpus aggregates and row counts
-    # ride the writes as Observation metrics — no read-back jobs.
-    if not man.stage_done("stats"):
+    # doc_stats decode only the marker rows (their own file set / partition),
+    # term_stats aggregates segment metadata columns. Corpus aggregates and
+    # row counts ride the writes as Observation metrics — no read-back jobs.
+    # Deferred into a closure so the fresh-build path can OVERLAP this stats
+    # barrier with the merge job (they read disjoint segment file sets).
+    def run_stats() -> None:
         t_stage = time.time()
-        markers = segments.where(F.col("bucket") == -1)
+        markers = read_segment_markers(spark, out)
 
         ds_schema = "docid long, field string, doclen long"
 
@@ -937,7 +1225,7 @@ def build_persistent_index(
 
         def write_term_stats():
             (
-                segments.where(F.col("bucket") >= 0)
+                read_segment_terms(spark, out)
                 .groupBy("term", "field")
                 .agg(
                     F.sum("n").cast("long").alias("df"),
@@ -972,10 +1260,11 @@ def build_persistent_index(
         stats = {"n_docs": man.data["lineage"]["n_docs"], "by_field": by_field}
         with open(f"{out}/corpus_stats.json", "w") as f:
             json.dump(stats, f, indent=1)
-        man.mark_stage(
-            "stats", n_terms=int(ts_obs.get["n"]),
-            stats_sec=round(time.time() - t_stage, 2),
-        )
+        with man_lock:
+            man.mark_stage(
+                "stats", n_terms=int(ts_obs.get["n"]),
+                stats_sec=round(time.time() - t_stage, 2),
+            )
 
     # max docid for range salting (from lineage — docids are dense 1..N)
     max_docid = int(man.data["lineage"]["n_docs"])
@@ -984,7 +1273,6 @@ def build_persistent_index(
     block_size = cfg.block_size
 
     # ---- per-bucket packed postings build (segment MERGE phase) ---------
-    tstats = spark.read.parquet(f"{out}/term_stats")
     merge_partition = make_merge_partition(n_salts, max_docid, block_size)
     # merge parallelism: partitions hold complete (term,field,salt) groups
     # (repartition hashes the full group key); sized to ~2 waves per core
@@ -993,17 +1281,22 @@ def build_persistent_index(
         2 * spark.sparkContext.defaultParallelism, cfg.n_buckets
     )
 
-    import threading
     from concurrent.futures import ThreadPoolExecutor
-
-    man_lock = threading.Lock()
 
     # heavy terms collected ONCE (tiny: df > threshold can only be a handful
     # of stopword-grade terms); shipped to every bucket job as an isin list
-    # instead of a per-bucket broadcast-join sub-job
+    # instead of a per-bucket broadcast-join sub-job. Computed from the
+    # segment METADATA columns (sum of per-segment df parts), NOT from
+    # term_stats — the merge must not wait on the stats stage it overlaps.
     heavy_terms = [
         r["term"]
-        for r in tstats.where(F.col("df") > threshold).select("term").distinct().collect()
+        for r in read_segment_terms(spark, out)
+        .groupBy("term", "field")
+        .agg(F.sum("n").alias("df"))
+        .where(F.col("df") > threshold)
+        .select("term")
+        .distinct()
+        .collect()
     ]
 
     def build_bucket(b: int) -> int:
@@ -1050,12 +1343,30 @@ def build_persistent_index(
     fresh_blocks: int | None = None
 
     todo = [b for b in range(cfg.n_buckets) if not man.bucket_done(b)]
-    if fail_after_bucket is None and len(todo) == cfg.n_buckets:
+    fresh = fail_after_bucket is None and len(todo) == cfg.n_buckets
+
+    # ---- stats ∥ merge ---------------------------------------------------
+    # The stats jobs read only marker files + segment metadata columns; the
+    # merge reads the term binaries — disjoint inputs, no ordering edge. On
+    # the fresh path the stats barrier (a serial 1-2 s slice of the r02
+    # executor-cluster tail) therefore OVERLAPS the merge job instead of
+    # preceding it. Resume paths keep the sequential order (cheap and rare).
+    stats_pool = stats_fut = None
+    if not man.stage_done("stats"):
+        if fresh:
+            stats_pool = ThreadPoolExecutor(max_workers=1)
+            stats_fut = stats_pool.submit(run_stats)
+        else:
+            run_stats()
+
+    if fresh:
         # fresh build: ONE merge job over every bucket — a single shuffle by
-        # (term, field, salt) and a partitioned write; per-bucket jobs (the
-        # resume path below) would pay n_buckets x job-orchestration
-        # overhead for identical output
-        segs_all = read_segments(spark, out).where(F.col("bucket") >= 0)
+        # (term, field, salt); per-bucket jobs (the resume path below) would
+        # pay n_buckets x job-orchestration overhead for identical output.
+        # The packed files are written python-side (one file per shuffle
+        # partition, groups sorted by term so row-group min/max stats prune
+        # query scans) and committed by manifest listing.
+        segs_all = read_segment_terms(spark, out).drop("bucket")
         salted = (
             F.col("term").isin(heavy_terms) if heavy_terms else F.lit(False)
         )
@@ -1069,20 +1380,25 @@ def build_persistent_index(
                 )
             ),
         )
-        pk_obs = Observation("packed_blocks")
-        packed = (
-            joined.drop("bucket")
-            .repartition(merge_parts, "term", "field", "salt")
-            .mapInArrow(merge_partition, PACKED_SCHEMA)
-            .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
-            .observe(pk_obs, F.count(F.lit(1)).alias("n"))
+        pk_dir = f"{out}/packed"
+        os.makedirs(pk_dir, exist_ok=True)
+        part_df = joined.repartition(merge_parts, "term", "field", "salt")
+        wrows = _packed_writer_rows(
+            part_df, n_salts, max_docid, block_size, pk_dir
+        ).collect()
+        _write_side_manifest(
+            pk_dir,
+            {
+                "format": 1,
+                "n_buckets": cfg.n_buckets,
+                "files": sorted(r["file"] for r in wrows),
+                "total_rows": int(sum(r["rows"] for r in wrows)),
+            },
         )
-        packed.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{out}/packed"
-        )
-        fresh_blocks = int(pk_obs.get["n"])
-        for b in todo:
-            man.mark_bucket(b)
+        fresh_blocks = int(sum(r["rows"] for r in wrows))
+        with man_lock:
+            for b in todo:
+                man.mark_bucket(b)
         todo = []
 
     # resume path: buckets build concurrently (Spark schedules the jobs side
@@ -1101,19 +1417,32 @@ def build_persistent_index(
                     man.mark_bucket(b)
 
     if not man.stage_done("packed"):
-        # fresh path observed the count on the write; the (rare) per-bucket
-        # resume path pays one metadata-only parquet count
-        total_blocks = (
-            fresh_blocks
-            if fresh_blocks is not None
-            else spark.read.parquet(f"{out}/packed").count()
-        )
-        man.mark_stage(
-            "packed",
-            total_blocks=total_blocks,
-            blocks_written=total_blocks,
-            buckets_sec=round(time.time() - t_buckets, 2),
-        )
+        # fresh path counted rows off the writer manifest; a crash between
+        # the side-manifest commit and this mark reads the count back from
+        # it; the (rare) per-bucket resume path pays one parquet count
+        if fresh_blocks is not None:
+            total_blocks = fresh_blocks
+        else:
+            pk_man = _side_manifest(f"{out}/packed")
+            total_blocks = (
+                int(pk_man["total_rows"])
+                if pk_man is not None
+                else spark.read.parquet(f"{out}/packed").count()
+            )
+        with man_lock:
+            man.mark_stage(
+                "packed",
+                total_blocks=total_blocks,
+                blocks_written=total_blocks,
+                buckets_sec=round(time.time() - t_buckets, 2),
+            )
+
+    # join the overlapped stats job (exceptions propagate here)
+    if stats_fut is not None:
+        try:
+            stats_fut.result()
+        finally:
+            stats_pool.shutdown(wait=False)
     return dict(man.data["counters"], **man.data["lineage"])
 
 
@@ -1136,7 +1465,7 @@ class PackedIndex(IndexTables):
         self.n_buckets = int(man.data["lineage"]["n_buckets"])
         # block size drives the query-side pruning gate (runner._pruned_topk)
         self.block_size = int(man.data["lineage"].get("block_size", BLOCK_SIZE))
-        packed = spark.read.parquet(f"{out_dir}/packed")
+        packed, self._bucketed = read_packed(spark, out_dir)
         super().__init__(
             doc_ids=spark.read.parquet(f"{out_dir}/doc_ids"),
             # forward index is not materialized in the segment layout —
@@ -1160,11 +1489,13 @@ class PackedIndex(IndexTables):
         from functools import reduce
 
         def one(t, f):
-            return (
-                (F.col("bucket") == _py_bucket(t, self.n_buckets))
-                & (F.col("term") == t)
-                & (F.col("field") == f)
-            )
+            cond = (F.col("term") == t) & (F.col("field") == f)
+            if self._bucketed:
+                # legacy layout: the bucket partition column prunes files;
+                # manifest layout prunes via the term predicate against
+                # row-group min/max stats instead (term-sorted files)
+                cond = (F.col("bucket") == _py_bucket(t, self.n_buckets)) & cond
+            return cond
 
         return reduce(lambda a, b: a | b, [one(t, f) for t, f in pairs])
 
