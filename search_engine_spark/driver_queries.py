@@ -605,8 +605,9 @@ def _wsum_sql(spec, k: int) -> str:
 _register("indri_wsum_topk", _q_indri_wsum_topk, _wsum_sql(_WSUM_SPEC, 100))
 
 
-# -- PRF expansion (two-round; consume-side SQL twin impractical -> rows-only,
-#    exact parity vs the independent python oracle in tests/test_expand.py) ---
+# -- PRF expansion (two-round) ------------------------------------------------
+
+_PRF_W_QUERY = "spark query table"
 
 
 def _q_prf_topk(spark, sf_dir):
@@ -623,14 +624,115 @@ def _q_prf_topk(spark, sf_dir):
     )
 
 
-# two-round expanded retrieval: the top-fbTerms CUT makes a static SQL twin
-# brittle (term selection flips on sub-f32 aggregation-order noise), so the
-# topk entry stays rows-only; the WEIGHTS feeding that cut are fully
-# oracled below (the judge-sanctioned split, VERDICT r01 item 4)
-_register("prf_expanded_topk", _q_prf_topk, None)
+def _prf_expanded_sql() -> str:
+    """Full two-round PRF twin (QryEval.java:765-951): Indri #AND top-5 →
+    RM weights → top-8 cut → %.4f-formatted learned #WAND → re-evaluate
+    ``#WAND ( 0.5 #AND(orig) 0.5 learned )``.
+
+    Bitwise-stability design: every float accumulation that crosses rows is
+    either order-safe (MAX over disjoint slots) or an EXPLICITLY
+    parenthesized left-associative fold over rank-pivoted slot columns —
+    the exact order the engine now folds in (engine/expand.py accumulates
+    in feedback-rank order, like the reference's ranking walk; the parser
+    sums #WAND weights in parse order). %.4f weight formatting maps to
+    DuckDB printf (both correctly-rounded). pow() ulp skew between engines
+    is absorbed by the f32 output cast, same as every Indri oracle."""
+    terms = _PRF_W_QUERY.split()
+    n = len(terms)
+    fbd, fbt, w_orig, k = 5, 8, 0.5, 50
+    mu, lam = _I.mu, _I.lam
+
+    # contains(t) = ((((x1+x2)+x3)+x4)+x5, x_r = tf(t, doc@rank r)·w_r or 0.0
+    x_slots = ",\n         ".join(
+        f"coalesce(MAX(CASE WHEN f.rnk = {r} THEN t.tf * f.w END), 0.0) AS x{r}"
+        for r in range(1, fbd + 1)
+    )
+    contains = "x1"
+    for r in range(2, fbd + 1):
+        contains = f"({contains} + x{r})"
+
+    # learned-term slots by weight rank (trnk 1 = best); parse order of the
+    # learned #WAND is ASCENDING weight -> slot fbt first everywhere below
+    ls_slots = ", ".join(
+        f"MAX(CASE WHEN trnk = {r} THEN s END) AS ls{r}" for r in range(1, fbt + 1)
+    )
+    wp_slots = ", ".join(
+        f"MAX(CASE WHEN trnk = {r} THEN wp END) AS w{r}" for r in range(1, fbt + 1)
+    )
+    wtot = f"w{fbt}"
+    for r in range(fbt - 1, 0, -1):
+        wtot = f"({wtot} + w{r})"
+    wand_prod = "1.0"
+    for r in range(fbt, 0, -1):
+        wand_prod = f"{wand_prod} * pow(l.ls{r}, (w.w{r} / w.wtot))"
+
+    prod3 = " * ".join(f"c{i}" for i in range(n))
+    orig_cols = ",\n         ".join(
+        f"coalesce(s{i}.s, {_indri_default_sql(t)}) AS c{i}"
+        for i, t in enumerate(terms)
+    )
+    orig_joins = "\n  ".join(
+        f"LEFT JOIN s{i} ON s{i}.doc_id = a.doc_id" for i in range(n)
+    )
+
+    return (
+        SQL_PRELUDE
+        + ",\n"
+        + _indri_join_sql(terms)
+        + f""",
+agg1 AS (SELECT doc_id, pow({prod3}, (1.0 / {n})) AS score FROM per),
+top5 AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+         FROM agg1 ORDER BY score DESC, doc_id ASC LIMIT {fbd}),
+fbw AS (SELECT t5.doc_id, t5.rnk, t5.score / (l.doclen + {0.0!r}) AS w
+        FROM top5 t5 JOIN dl l USING (doc_id)),
+cpiv AS (
+  SELECT t.term,
+         {x_slots}
+  FROM tfs t JOIN fbw f USING (doc_id)
+  WHERE NOT regexp_matches(t.term, '[.,]')
+  GROUP BY 1),
+wts AS (SELECT term, {contains} * ln(1.0 / (d.ctf / c.c_len)) AS wraw
+        FROM cpiv JOIN dfstats d USING (term) CROSS JOIN consts c),
+top8 AS (SELECT term, wraw, CAST(printf('%.4f', wraw) AS DOUBLE) AS wp,
+                row_number() OVER (ORDER BY wraw DESC, term ASC) AS trnk
+         FROM wts ORDER BY wraw DESC, term ASC LIMIT {fbt}),
+lstat AS (SELECT t8.trnk, t8.term, t8.wp, (d.ctf / c.c_len) AS mle
+          FROM top8 t8 JOIN dfstats d USING (term) CROSS JOIN consts c),
+lcand AS (SELECT DISTINCT doc_id FROM tfs WHERE term IN (SELECT term FROM top8)),
+allc AS (SELECT doc_id FROM cands UNION SELECT doc_id FROM lcand),
+lcell AS (
+  SELECT a.doc_id, ls.trnk,
+         CASE WHEN t.tf IS NOT NULL THEN
+           CAST(CAST((1.0 - {lam!r}) * ((t.tf + {mu!r} * ls.mle) / (l.doclen + {mu!r}))
+                + {lam!r} * ls.mle AS REAL) AS DOUBLE)
+         ELSE
+           ((1.0 - {lam!r}) * ({mu!r} * ls.mle) / (l.doclen + {mu!r}) + {lam!r} * ls.mle)
+         END AS s
+  FROM allc a
+  CROSS JOIN lstat ls
+  JOIN dl l ON l.doc_id = a.doc_id
+  LEFT JOIN tfs t ON t.doc_id = a.doc_id AND t.term = ls.term),
+lpiv AS (SELECT doc_id, {ls_slots} FROM lcell GROUP BY 1),
+wconst AS (SELECT {wp_slots} FROM top8),
+w2c AS (SELECT *, {wtot} AS wtot FROM wconst),
+oper AS (
+  SELECT a.doc_id,
+         {orig_cols}
+  FROM allc a
+  JOIN dl l ON l.doc_id = a.doc_id
+  CROSS JOIN consts c
+  {orig_joins}),
+agg AS (
+  SELECT p.doc_id,
+         1.0 * pow(pow({" * ".join(f"p.c{i}" for i in range(n))}, (1.0 / {n})), ({w_orig!r} / 1.0))
+             * pow({wand_prod}, ({1.0 - w_orig!r} / 1.0)) AS score
+  FROM oper p JOIN lpiv l USING (doc_id) CROSS JOIN w2c w)"""
+        + _topk_sql(k, f32_out=True)
+    )
 
 
-_PRF_W_QUERY = "spark query table"
+_register("prf_expanded_topk", _q_prf_topk, _prf_expanded_sql())
 
 
 def _q_prf_term_weights(spark, sf_dir):

@@ -103,6 +103,15 @@ def rm_term_weights(
     c_len = float(eng.index.corpus.sum_doclen(fld))
 
     doc_rows = {r["docid"]: r["score"] for r in top}
+    # rank order of the feedback docs: the reference accumulates each doc's
+    # TermVector into the score map walking the ranking top-down
+    # (QryEval.java:851-896), so every float sum below folds in THIS order —
+    # deterministic across runs (a Spark sum's partial-aggregation order is
+    # not) and bit-faithful to the reference's accumulation.
+    order = [
+        r["docid"]
+        for r in (sorted(top, key=lambda r: r["rank"]) if "rank" in top[0] else top)
+    ]
     doclens = {
         r["docid"]: r["doclen"]
         for r in eng.index.doc_stats.where(
@@ -110,38 +119,42 @@ def rm_term_weights(
         ).collect()
     }
     # Σ_k p(I|k)/(doclen_k + fbMu) — the cross-term constant of the default part
-    s_default = sum(
-        doc_rows[d] / (doclens.get(d, 0) + p.fb_mu) for d in doc_rows
-    )
-
-    # contains part: top-docs' forward-index slice -> one aggregation by
-    # term. doc_terms_for works on BOTH index backends: the in-memory
-    # doc_terms filter and PackedIndex's block-pruned packed-postings decode
-    # (hw5/QryEval/TermVector.java random access analog).
     wmap = {d: doc_rows[d] / (doclens.get(d, 0) + p.fb_mu) for d in doc_rows}
-    w_df = eng.index.doc_stats.sparkSession.createDataFrame(
-        [(d, w) for d, w in wmap.items()], "docid long, _w double"
-    )
-    cand = (
+    s_default = 0.0
+    for d in order:
+        s_default += wmap[d]
+
+    # contains part: top-docs' forward-index slice, collected at (term, doc)
+    # grain (≤ fbDocs × per-doc vocab rows — a constant-bounded driver load)
+    # and folded per term in rank order. doc_terms_for works on BOTH index
+    # backends: the in-memory doc_terms filter and PackedIndex's block-pruned
+    # packed-postings decode (hw5/QryEval/TermVector.java random access
+    # analog).
+    tv = (
         eng.index.doc_terms_for(list(doc_rows), fld)
         .where(~F.col("term").rlike("[.,]"))
-        .join(F.broadcast(w_df), "docid")
-        .groupBy("term")
-        .agg(F.sum(F.col("tf") * F.col("_w")).alias("_contains"))
+        .select("term", "docid", "tf")
+        .collect()
     )
-    rows = cand.collect()
-    pairs = {(r["term"], fld) for r in rows}
+    tf_by_term: dict = {}
+    for r in tv:
+        tf_by_term.setdefault(r["term"], {})[r["docid"]] = r["tf"]
+    pairs = {(t, fld) for t in tf_by_term}
     eng.ctx.prefetch_terms(pairs)
 
     import math
 
     scored = []
-    for r in rows:
-        t = r["term"]
+    for t, tfmap in tf_by_term.items():
+        contains = 0.0
+        for d in order:
+            tf = tfmap.get(d)
+            if tf is not None:
+                contains += tf * wmap[d]
         _, ctf = eng.ctx.term_stat(t, fld)
         ptc = ctf / c_len
         idf = math.log(1.0 / ptc)
-        score = r["_contains"] * idf + (p.fb_mu * ptc) * s_default * idf
+        score = contains * idf + (p.fb_mu * ptc) * s_default * idf
         scored.append((t, score))
     return scored
 
