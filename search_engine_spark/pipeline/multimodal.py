@@ -287,14 +287,42 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def _extract_frame_ffmpeg(ffmpeg: str, payload: bytes, ts_ms: int) -> bytes | None:
+    """One frame at ``ts_ms`` as PNG bytes via an ffmpeg subprocess
+    (container piped on stdin, ``-ss ts -frames:v 1`` to image2pipe).
+    Returns None on any decode failure — corrupt/non-video payloads fall
+    back to the deterministic digest, per-row like the PNG/WAV kernels."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [
+                ffmpeg, "-v", "error", "-ss", f"{ts_ms / 1000:.3f}",
+                "-i", "pipe:0", "-frames:v", "1",
+                "-f", "image2pipe", "-vcodec", "png", "pipe:1",
+            ],
+            input=bytes(payload),
+            capture_output=True,
+            timeout=60,
+        )
+    except Exception:
+        return None
+    return proc.stdout if proc.returncode == 0 and proc.stdout else None
+
+
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Frame sampling for videos: one output row per sampled timestamp;
-    payload = deterministic slice digest standing in for the frame bytes
-    (REAL DECODER HERE: ``ffmpeg -ss ts -frames:v 1`` — no codec in this
-    container). The row shape is the real contract."""
+    """Frame sampling for videos: one output row per sampled timestamp.
+    Payload = the REAL frame (PNG via an ``ffmpeg`` subprocess) when the
+    binary is on the workers' PATH and the payload decodes; otherwise a
+    deterministic slice digest stands in (this container ships no codec —
+    the synthetic corpus exercises the fallback, and the subprocess path
+    is the same per-row-fallback pattern as the PNG/WAV kernels)."""
+    import shutil
+
     import pandas as pd
 
     def kernel(batches):
+        ffmpeg = shutil.which("ffmpeg")  # resolved once per task, worker-side
         for pdf in batches:
             pdf = pdf[(pdf["kind"] == "video") & pdf["duration_ms"].notna()]
             ids, idxs, tss, payloads = [], [], [], []
@@ -302,11 +330,20 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                 pdf["media_id"], pdf["duration_ms"], pdf["payload"]
             ):
                 for j, ts in enumerate(range(0, int(dur), every_ms)):
+                    frame = (
+                        _extract_frame_ffmpeg(ffmpeg, payload, ts)
+                        if ffmpeg
+                        else None
+                    )
                     ids.append(mid)
                     idxs.append(j)
                     tss.append(ts)
                     payloads.append(
-                        hashlib.sha256(bytes(payload) + ts.to_bytes(8, "little")).digest()
+                        frame
+                        if frame is not None
+                        else hashlib.sha256(
+                            bytes(payload) + ts.to_bytes(8, "little")
+                        ).digest()
                     )
             yield pd.DataFrame(
                 {

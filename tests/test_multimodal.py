@@ -164,3 +164,19 @@ def test_media_stats(spark):
     df = mm.synth_media_df(spark, 12)
     stats = {r["kind"]: r["n"] for r in mm.media_stats(df).collect()}
     assert sum(stats.values()) == 12
+
+
+def test_extract_frame_ffmpeg_paths(tmp_path):
+    """The subprocess frame extractor: success passes stdout through,
+    nonzero exit / missing binary fall back to None (-> digest stand-in)."""
+    good = tmp_path / "fake_ffmpeg"
+    good.write_text("#!/bin/sh\nprintf 'PNGDATA'\n")
+    good.chmod(0o755)
+    assert mm._extract_frame_ffmpeg(str(good), b"xx", 500) == b"PNGDATA"
+
+    bad = tmp_path / "fail_ffmpeg"
+    bad.write_text("#!/bin/sh\nexit 1\n")
+    bad.chmod(0o755)
+    assert mm._extract_frame_ffmpeg(str(bad), b"xx", 500) is None
+
+    assert mm._extract_frame_ffmpeg(str(tmp_path / "missing"), b"xx", 0) is None
