@@ -121,6 +121,29 @@ def main() -> None:
 
     ratio = hi["files_per_sec"] / lo["files_per_sec"]
     eff = ratio / (args.high / args.low)
+
+    # Per-stage decomposition (north_rule alternate evidence): the build's
+    # manifest counters time the two pipeline stages — segments (tokenize +
+    # partial postings) and buckets (merge + packed write); stats runs
+    # overlapped with the merge, so the pipeline wall is approximately
+    # segments + max(stats, buckets) and the remainder is the serial
+    # orchestration tail (session init, planning, commit). Stage efficiency
+    # isolates how the PARALLEL work scales once that constant tail — which
+    # a real cluster amortizes over 1000x the input — is excluded.
+    def stage_secs(r: dict) -> dict:
+        c = r.get("counters", {})
+        seg = c.get("segments_sec")
+        merge = max(c.get("stats_sec", 0) or 0, c.get("buckets_sec", 0) or 0)
+        out = {"segments": seg, "merge": merge or None}
+        if seg is not None and merge:
+            out["tail"] = round(r["wall_sec"] - seg - merge, 2)
+        return out
+
+    lo_st, hi_st = stage_secs(lo), stage_secs(hi)
+    stage_eff = {}
+    for k in ("segments", "merge"):
+        if lo_st.get(k) and hi_st.get(k):
+            stage_eff[k] = round((lo_st[k] / hi_st[k]) / (args.high / args.low), 3)
     # report the count the JOB saw, not the request — guards against any
     # corpus-reuse mismatch ever mislabeling a history row again
     n_files = lo.get("files") or args.files
@@ -138,6 +161,9 @@ def main() -> None:
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
         "warmup_files": args.warmup_files,
+        "stage_sec_low": lo_st,
+        "stage_sec_high": hi_st,
+        "stage_efficiency": stage_eff,
     }
     print(json.dumps(out))
     pin_note = " (pinned)" if args.pin else ""
@@ -153,8 +179,15 @@ def main() -> None:
         f.write(
             f"| {n_files} | {lo_lbl}{pin_note} {lo['files_per_sec']} f/s "
             f"({lo['wall_sec']}s) | {hi_lbl}{pin_note} {hi['files_per_sec']} f/s "
-            f"({hi['wall_sec']}s) | {ratio:.2f}x | {eff:.3f} |\n"
+            f"({hi['wall_sec']}s) | {ratio:.2f}x | {eff:.3f} |"
         )
+        if stage_eff:
+            f.write(
+                f" stage-eff seg={stage_eff.get('segments')} "
+                f"merge={stage_eff.get('merge')}; tail "
+                f"{lo_st.get('tail')}s/{hi_st.get('tail')}s"
+            )
+        f.write("\n")
 
 
 if __name__ == "__main__":
