@@ -55,6 +55,34 @@ consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
                   (SELECT sum(doclen)::DOUBLE / count(*) FROM dl) AS avgdl)
 """
 
+# Multi-field prelude: the same tokenize/stats tables per (doc, field) for
+# the three indexed fields (body=text, lang, source) — the DuckDB twin of
+# index/build.py's fields={} walk. Per-field avgdl/c_len; n_docs stays the
+# corpus-wide count (ops.py uses corpus.n_docs for every field's idf).
+MF_SQL_PRELUDE = r"""
+WITH docs_f AS (
+  SELECT doc_id, 'body' AS field, text AS raw FROM documents
+  UNION ALL SELECT doc_id, 'lang' AS field, lang AS raw FROM documents
+  UNION ALL SELECT doc_id, 'source' AS field, source AS raw FROM documents
+),
+fdocs_t AS (
+  SELECT doc_id, field,
+         list_filter(regexp_split_to_array(lower(raw), '\s+'), x -> x <> '') AS toks
+  FROM docs_f
+),
+ftok0 AS (SELECT doc_id, field, unnest(list_zip(toks, range(len(toks)))) AS z FROM fdocs_t),
+ftok  AS (SELECT doc_id, field, z[1] AS term, CAST(z[2] AS BIGINT) AS pos FROM ftok0),
+ftfs  AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1, 2, 3),
+fdl   AS (SELECT doc_id, field, count(*)::BIGINT AS doclen FROM ftok GROUP BY 1, 2),
+fdfstats AS (SELECT field, term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
+             FROM ftfs GROUP BY 1, 2),
+fconsts AS (SELECT field,
+                   (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                   sum(doclen)::DOUBLE AS c_len,
+                   sum(doclen)::DOUBLE / count(*) AS avgdl
+            FROM fdl GROUP BY 1)
+"""
+
 _B = BM25Params()
 _I = IndriParams()
 
@@ -156,6 +184,11 @@ import os as _os
 
 USE_PACKED = _os.environ.get("SPARK_GRAFT_PACKED") == "1"
 
+# field name -> source column in documents.parquet (SURVEY.md §2.2 P1: the
+# reference indexes body/title/url/inlink/keywords; the sf documents table
+# carries text/lang/source, so the gate exercises three field slots)
+DOC_FIELDS = {"body": "text", "lang": "lang", "source": "source"}
+
 
 def load_documents_index(spark: SparkSession, sf_dir: str):
     # module flag ONLY (initialized from the env at import): re-reading the
@@ -168,10 +201,13 @@ def load_documents_index(spark: SparkSession, sf_dir: str):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("long").alias("docid"),
             F.col("doc_id").cast("long").alias("ext_docid"),
-            "text",
+            "text", "lang", "source",
         )
+        # multi-field corpus (the reference's 5-field reality,
+        # hw1/QryEval/mengyuy.qry): per-field stats keep the body-field
+        # scores bit-identical to a body-only build
         idx = build_index(
-            spark, docs, fields={"body": "text"}, tokenizer=WHITESPACE_TOKENIZER
+            spark, docs, fields=DOC_FIELDS, tokenizer=WHITESPACE_TOKENIZER
         )
         # materialize the cached forward index AND the postings view once
         # (postings add df/ctf via a window over doc_terms — uncached, every
@@ -197,7 +233,7 @@ def load_packed_documents_index(spark: SparkSession, sf_dir: str):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("long").alias("docid"),
             F.col("doc_id").cast("string").alias("ext_docid"),
-            "text",
+            "text", "lang", "source",
         )
         out = _os.path.join(
             tempfile.gettempdir(),
@@ -210,7 +246,7 @@ def load_packed_documents_index(spark: SparkSession, sf_dir: str):
         parts = max(2, min(16, n_docs // 500))
         docs = docs.repartition(parts)
         cfg = BuildConfig(
-            out_dir=out, fields={"body": "text"}, tokenizer=WHITESPACE_TOKENIZER,
+            out_dir=out, fields=DOC_FIELDS, tokenizer=WHITESPACE_TOKENIZER,
             n_buckets=8, merge_partitions=max(parts, 8),
         )
         build_persistent_index(spark, docs, cfg, resume=False)
@@ -329,6 +365,49 @@ _register(
     + ","
     + _bm25_scores_cte(["big", "data", "fast", "scan", "merge", "join", "dup"])
     + "\nSELECT doc_id AS docid, sum(score) AS score FROM scores GROUP BY 1",
+)
+
+
+# -- P1: field-qualified retrieval (term.field) -------------------------------
+# the reference's multi-field reality (hw1/QryEval/mengyuy.qry queries
+# body/title/url/inlink slots; QryEval.java qualifies terms as term.field):
+# a #SUM mixing a body term with lang- and source-field terms exercises the
+# parser's field suffix, per-field df/ctf/avgdl, and the mixed-field CASE
+# in compiler._leaf_score_col.
+
+_FIELD_QUERY_PAIRS = [("dup", "body"), ("de", "lang"), ("src7", "source")]
+
+
+def _bm25_field_scores_cte(pairs: list[tuple[str, str]]) -> str:
+    in_list = ", ".join(f"('{t}', '{f}')" for t, f in pairs)
+    return f"""
+scores AS (
+  SELECT t.doc_id,
+         CAST(CAST(
+           greatest(0.0, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           * (t.tf / (t.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))
+         AS REAL) AS DOUBLE) AS score
+  FROM ftfs t
+  JOIN fdfstats d ON d.term = t.term AND d.field = t.field
+  JOIN fdl l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN fconsts c ON c.field = t.field
+  WHERE (t.term, t.field) IN ({in_list})
+)"""
+
+
+def _q_field_bm25_topk(spark, sf_dir):
+    q = "#SUM(" + " ".join(f"{t}.{f}" for t, f in _FIELD_QUERY_PAIRS) + ")"
+    return _topk_df(_engine(spark, sf_dir, BM25), q, 100)
+
+
+_register(
+    "field_bm25_topk",
+    _q_field_bm25_topk,
+    MF_SQL_PRELUDE
+    + ","
+    + _bm25_field_scores_cte(_FIELD_QUERY_PAIRS)
+    + ",\nagg AS (SELECT doc_id, sum(score) AS score FROM scores GROUP BY 1)"
+    + _topk_sql(100),
 )
 
 
@@ -790,7 +869,7 @@ _register("prf_term_weights", _q_prf_term_weights, _prf_weights_sql())
 
 def _q_term_stats(spark, sf_dir):
     idx = load_documents_index(spark, sf_dir)
-    return idx.term_stats.select(
+    return idx.term_stats.where(F.col("field") == "body").select(
         "term", F.col("df").cast("long").alias("df"), F.col("ctf").cast("long").alias("ctf")
     )
 
@@ -804,7 +883,7 @@ _register(
 
 def _q_doc_stats(spark, sf_dir):
     idx = load_documents_index(spark, sf_dir)
-    return idx.doc_stats.select(
+    return idx.doc_stats.where(F.col("field") == "body").select(
         F.col("docid").cast("long").alias("docid"),
         F.col("doclen").cast("long").alias("doclen"),
     )

@@ -342,11 +342,259 @@ LIMIT 100"""
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-field LeToR (the reference's 5-field reality):
+# hw5/QryEval/FeatureVector.java:74-227 walks body/title/url/inlink slots;
+# here slots 0..2 = (body, lang, source) on the sf documents table and slot 3
+# is absent (the reference's missing-TermVector NaN path). The query mixes a
+# body-heavy token with a lang value and a source value so f8-f13 carry real
+# per-candidate variation, and duplicates 'spark' for the token-position
+# semantics. Oracle: per-(doc, field) tokenize/stats tables (MF_SQL_PRELUDE)
+# with the same expression association as letor_features_local.
+#
+# Feature variation at sf0.01: f8/f10 (lang BM25/overlap) and f11/f13
+# (source) split the candidates into real groups; f9/f12 (Indri on
+# lang/source) are 0.0 for every candidate BY SEMANTICS — the Indri
+# geometric mean zeroes whenever any query token has ctf=0 in that field
+# ('spark' never appears in the single-token lang/source vocabularies) —
+# which is the reference's own behavior for an OOV term with mu/lam
+# smoothing over an empty collection frequency.
+# ---------------------------------------------------------------------------
+
+from search_engine_spark.driver_queries import MF_SQL_PRELUDE  # noqa: E402
+
+MF_QUERY = "spark de src7 spark"
+MF_QTOKENS = ["spark", "de", "src7", "spark"]
+MF_DISTINCT = ["spark", "de", "src7"]
+MF_QLEN = len(MF_QTOKENS)
+MF_FIELDS = ["body", "lang", "source"]
+
+MF_CFG = LetorConfig(
+    bm25=_B, indri=_I, fields4=("body", "lang", "source", None)
+)
+
+
+def _normalized_rows_mf(spark: SparkSession, sf_dir: str) -> list[dict]:
+    idx = load_documents_index(spark, sf_dir)
+    eng = Engine(idx, ModelConfig(name=BM25))
+    cands = [r["docid"] for r in eng.search(MF_QUERY, 100).collect()]
+    raw = letor_features_local(
+        spark, idx, MF_QTOKENS, cands, MF_CFG,
+        docs_meta=_docs_meta(spark, sf_dir), f1_col="n_chars", url_col="url",
+        pagerank=_pagerank(spark, sf_dir),
+    )
+    return normalize_features_local(raw, MF_CFG.disable)
+
+
+def q_letor_features_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    rows = _normalized_rows_mf(spark, sf_dir)
+    data = [
+        tuple([r["docid"]] + [float(np.float32(r[c])) for c in FEATURE_COLS])
+        for r in rows
+    ]
+    schema = "docid long, " + ", ".join(f"{c} double" for c in FEATURE_COLS)
+    return spark.createDataFrame(data, schema)
+
+
+def _fsub(col: str, term: str, field: str) -> str:
+    return f"(SELECT {col} FROM fdfstats WHERE term = '{term}' AND field = '{field}')"
+
+
+def _fconst(col: str, field: str) -> str:
+    return f"(SELECT {col} FROM fconsts WHERE field = '{field}')"
+
+
+def _mf_cands_cte() -> str:
+    """BM25 #SUM body-field top-100 for MF_QUERY ('de'/'src7' have body df=0
+    so only 'spark' scores, weighted x2 for the duplicate token)."""
+    in_list = ", ".join(f"'{t}'" for t in MF_DISTINCT)
+    return f"""
+mf_lscores AS (
+  SELECT t.doc_id,
+         CAST(CAST(
+           greatest(0.0, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           * (t.tf / (t.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))
+         AS REAL) AS DOUBLE)
+         * (CASE t.term WHEN 'spark' THEN 2.0 ELSE 1.0 END) AS score
+  FROM ftfs t
+  JOIN fdfstats d ON d.term = t.term AND d.field = 'body'
+  JOIN fdl l ON l.doc_id = t.doc_id AND l.field = 'body'
+  JOIN fconsts c ON c.field = 'body'
+  WHERE t.field = 'body' AND t.term IN ({in_list})
+),
+mf_agg AS (SELECT doc_id, sum(score) AS score FROM mf_lscores GROUP BY 1),
+cand AS (
+  SELECT doc_id AS docid FROM mf_agg
+  ORDER BY score DESC, doc_id ASC LIMIT 100
+)"""
+
+
+def _mf_piv_cte() -> str:
+    """One tf column per (field, distinct term) + one doclen column per
+    field, LEFT-joined onto the candidate set."""
+    joins, cols = [], []
+    for f in MF_FIELDS:
+        for t in MF_DISTINCT:
+            a = f"t_{f}_{t}"
+            joins.append(
+                f"LEFT JOIN (SELECT doc_id, CAST(tf AS DOUBLE) AS tf FROM ftfs "
+                f"WHERE term = '{t}' AND field = '{f}') {a} ON {a}.doc_id = cand.docid"
+            )
+            cols.append(f"{a}.tf AS tf_{f}_{t}")
+        joins.append(
+            f"LEFT JOIN (SELECT doc_id, CAST(doclen AS DOUBLE) AS doclen FROM fdl "
+            f"WHERE field = '{f}') l_{f} ON l_{f}.doc_id = cand.docid"
+        )
+        cols.append(f"l_{f}.doclen AS dl_{f}")
+    return (
+        "piv AS (\n  SELECT cand.docid, "
+        + ", ".join(cols)
+        + "\n  FROM cand\n  "
+        + "\n  ".join(joins)
+        + "\n)"
+    )
+
+
+def _mf_slot_exprs(f: str) -> tuple[str, str, str]:
+    """(BM25, Indri, overlap) raw-feature expressions for field slot ``f``,
+    association-identical to letor_features_local's per-slot folds."""
+    k1, b = _B.k1, _B.b
+    mu, lam = _I.mu, _I.lam
+    nd = _fconst("n_docs", f)
+    avgdl = _fconst("avgdl", f)
+    c_len = _fconst("c_len", f)
+    dl = f"dl_{f}"
+    # BM25: sorted-distinct fold, unclamped idf; df=0 terms carry no tf row
+    bm_terms = []
+    for t in sorted(set(MF_DISTINCT)):
+        df = _fsub("df", t, f)
+        bm_terms.append(
+            f"(CASE WHEN tf_{f}_{t} IS NOT NULL THEN "
+            f"ln(({nd} - {df} + 0.5) / ({df} + 0.5)) * "
+            f"(tf_{f}_{t} / (tf_{f}_{t} + {k1!r} * ({1.0 - b!r} + {b!r} * {dl} / {avgdl})))"
+            f" ELSE 0.0 END)"
+        )
+    f_bm = "0.0 + " + " + ".join(bm_terms)
+    # Indri: token-position product, absent terms default to ctf=0 smoothing
+    s_of = {
+        t: (
+            f"(({1.0 - lam!r} * (coalesce(tf_{f}_{t}, 0.0) + {mu!r} * "
+            f"(coalesce({_fsub('ctf', t, f)}, 0) / {c_len})) / ({dl} + {mu!r})) "
+            f"+ {lam!r} * (coalesce({_fsub('ctf', t, f)}, 0) / {c_len}))"
+        )
+        for t in MF_DISTINCT
+    }
+    prod = "1.0"
+    for t in MF_QTOKENS:
+        prod = f"{prod} * pow({s_of[t]}, {1.0 / MF_QLEN!r})"
+    present_any = " OR ".join(f"tf_{f}_{t} IS NOT NULL" for t in MF_DISTINCT)
+    f_in = f"(CASE WHEN {present_any} THEN {prod} ELSE 0.0 END)"
+    # overlap over token positions
+    cnt = " + ".join(
+        f"(CASE WHEN tf_{f}_{t} IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+        for t in MF_QTOKENS
+    )
+    f_ov = f"(0.0 + {cnt}) / {float(MF_QLEN)!r}"
+    return f_bm, f_in, f_ov
+
+
+def _mf_raw_cte() -> str:
+    feats = []
+    for slot, f in enumerate(MF_FIELDS):
+        fnums = (5 + 3 * slot, 6 + 3 * slot, 7 + 3 * slot)
+        guard = f"CASE WHEN dl_{f} IS NULL THEN 'NaN'::DOUBLE ELSE {{e}} END"
+        for fn, e in zip(fnums, _mf_slot_exprs(f)):
+            feats.append(guard.format(e=e) + f" AS f{fn}")
+    # f17/f18: body slot, token-position folds (same as the body-only oracle)
+    nd = _fconst("n_docs", "body")
+    f17_terms = [
+        f"(CASE WHEN tf_body_{t} IS NOT NULL THEN tf_body_{t} * "
+        f"ln(({nd} + 1.0) / {_fsub('df', t, 'body')}) ELSE 0.0 END)"
+        for t in MF_QTOKENS
+    ]
+    f17 = "0.0 + " + " + ".join(f17_terms)
+    num = "0.0 + " + " + ".join(
+        f"(CASE WHEN tf_body_{t} IS NOT NULL THEN ln(tf_body_{t}) + 1.0 ELSE 0.0 END)"
+        for t in MF_QTOKENS
+    )
+    den = "1.0 + " + " + ".join(
+        f"(CASE WHEN tf_body_{t} IS NOT NULL THEN ln(dl_body) + 1.0 ELSE 0.0 END)"
+        for t in MF_QTOKENS
+    )
+    guard_b = "CASE WHEN dl_body IS NULL THEN 'NaN'::DOUBLE ELSE {e} END"
+    feats.append(guard_b.format(e=f17) + " AS f17")
+    feats.append(guard_b.format(e=f"({num}) / ({den})") + " AS f18")
+    return f"""
+raw AS (
+  SELECT piv.docid,
+         m.n_chars AS f1,
+         CAST(length(m.url) - length(replace(m.url, '/', '')) AS DOUBLE) AS f2,
+         CASE WHEN contains(lower(m.url), 'wikipedia.org') THEN 1.0 ELSE 0.0 END AS f3,
+         m.pagerank AS f4,
+         {', '.join(feats)}
+  FROM piv JOIN docmeta m ON m.docid = piv.docid
+)"""
+
+
+def _mf_norm_sql() -> str:
+    """Min-max normalization as _norm_sql, but slots 0-2 are real and only
+    f14-f16 (the absent fourth slot) short-circuit to 0.0."""
+    real = [f"f{j}" for j in list(range(1, 14)) + [17, 18]]
+    stats_cols = ", ".join(
+        f"max(CASE WHEN NOT isnan({c}) THEN {c} END) AS mx_{c}, "
+        f"min(CASE WHEN NOT isnan({c}) THEN {c} END) AS mn_{c}"
+        for c in real
+    )
+    stats = f"fstats AS (SELECT {stats_cols} FROM raw)"
+    norm_exprs = []
+    for c in real:
+        mx = f"greatest(coalesce(mx_{c}, {JAVA_DOUBLE_MIN!r}), {JAVA_DOUBLE_MIN!r})"
+        mn = f"least(coalesce(mn_{c}, {JAVA_DOUBLE_MAX!r}), {JAVA_DOUBLE_MAX!r})"
+        norm_exprs.append(
+            f"CASE WHEN {mx} = {mn} THEN 0.0 "
+            f"WHEN isnan({c}) THEN 0.0 "
+            f"ELSE ({c} - {mn}) / ({mx} - {mn}) END AS {c}"
+        )
+    absent = ", ".join(f"0.0 AS f{j}" for j in range(14, 17))
+    return (
+        stats
+        + f""",
+norm AS (
+  SELECT raw.docid, {', '.join(norm_exprs)}, {absent}
+  FROM raw CROSS JOIN fstats
+)"""
+    )
+
+
+def letor_features_mf_sql() -> str:
+    f32 = ", ".join(
+        f"CAST(CAST(f{j} AS REAL) AS DOUBLE) AS f{j}" for j in range(1, 19)
+    )
+    return (
+        MF_SQL_PRELUDE
+        + ","
+        + _mf_cands_cte()
+        + ","
+        + _meta_cte()
+        + ","
+        + _mf_piv_cte()
+        + ","
+        + _mf_raw_cte()
+        + ","
+        + _mf_norm_sql()
+        + f"\nSELECT docid, {f32} FROM norm"
+    )
+
+
 QUERIES = {
     "letor_features": q_letor_features,
+    "letor_features_mf": q_letor_features_mf,
     "letor_rerank_topk": q_letor_rerank,
 }
 ORACLES = {
     "letor_features": letor_features_sql(),
+    "letor_features_mf": letor_features_mf_sql(),
     "letor_rerank_topk": letor_rerank_sql(),
 }
