@@ -72,6 +72,15 @@ def main() -> None:
     build_sec = time.time() - t0
 
     queries = dq.all_queries()
+
+    # one untimed warmup query: the first retrieval query in a fresh JVM pays
+    # ~1.7 s of one-off JIT/codegen on the packed decode+score path (measured:
+    # cold 3.0 s vs steady-state 1.3 s for the same plan) — the same
+    # steady-state methodology as the build bench's --warmup-files. The
+    # warmup IS included in the end-to-end `value`; only the per-query rows
+    # report steady state.
+    queries["bm25_sum_topk"](spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

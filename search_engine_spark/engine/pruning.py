@@ -142,9 +142,15 @@ def bm25_topk_pruned(
         seed.append(i)
         seed_posts += sum(block_n[key] for key in per_range_blocks[i])
 
+    seen_blocks: set = set()
+
     def score_ranges(idxs: list[int]) -> DataFrame:
         keys = sorted({key for i in idxs for key in per_range_blocks[i]})
-        st.n_blocks_scanned += len(keys)
+        # count UNIQUE blocks touched: a block spanning both a seed range and
+        # a survivor range is physically re-read by the second pass, but the
+        # pruning metric (scanned vs total) is about coverage, not I/O passes
+        st.n_blocks_scanned += len(set(keys) - seen_blocks)
+        seen_blocks.update(keys)
         bf = spark.createDataFrame(
             [(t, fld, s, b) for t, s, b in keys],
             "term string, field string, salt int, block_id int",
