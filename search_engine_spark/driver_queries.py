@@ -684,6 +684,97 @@ def _wsum_sql(spec, k: int) -> str:
 _register("indri_wsum_topk", _q_indri_wsum_topk, _wsum_sql(_WSUM_SPEC, 100))
 
 
+# -- multi-field Indri #WSUM ---------------------------------------------------
+# the reference's hw3 headline shape ("multi-field #WSUM queries", BASELINE.md):
+# each leaf scores against ITS field's ctf/c_len/doclen, and a candidate doc
+# missing from a leaf's field list takes that leaf's default score with the
+# doc's length IN THAT FIELD (0 when the doc has no tokens there) —
+# QryopSlScore.java:141-195 per field, combined by QryopSlWsum.java:56-135.
+
+_MF_WSUM_SPEC = [(0.5, "spark", "body"), (0.3, "de", "lang"), (0.2, "src7", "source")]
+
+
+def _indri_mf_term_score_sql(term: str, fld: str) -> str:
+    mle = (
+        f"((SELECT ctf FROM fdfstats WHERE term = '{term}' AND field = '{fld}')"
+        f" / (SELECT c_len FROM fconsts WHERE field = '{fld}'))"
+    )
+    return (
+        f"CAST(CAST((1.0 - {_I.lam!r}) * ((t.tf + {_I.mu!r} * {mle}) / (l.doclen + {_I.mu!r}))"
+        f" + {_I.lam!r} * {mle} AS REAL) AS DOUBLE)"
+    )
+
+
+def _indri_mf_default_sql(term: str, fld: str, doclen_expr: str) -> str:
+    # absent-from-field term -> ctf NULL -> engine treats ctf=0 (mle 0)
+    mle = (
+        f"(coalesce((SELECT ctf FROM fdfstats WHERE term = '{term}' AND field = '{fld}'), 0)"
+        f" / (SELECT c_len FROM fconsts WHERE field = '{fld}'))"
+    )
+    return (
+        f"((1.0 - {_I.lam!r}) * ({_I.mu!r} * {mle}) / ({doclen_expr} + {_I.mu!r})"
+        f" + {_I.lam!r} * {mle})"
+    )
+
+
+def _indri_mf_join_sql(pairs: list[tuple[str, str]]) -> str:
+    """Multi-field twin of _indri_join_sql: per-leaf actual scores from the
+    leaf's field tables, defaults on the doc's doclen in that field
+    (coalesced to 0 for docs with no tokens there — ops.py:483-485)."""
+    in_list = ", ".join(f"('{t}', '{f}')" for t, f in pairs)
+    cands = f"cands AS (SELECT DISTINCT doc_id FROM ftfs WHERE (term, field) IN ({in_list}))"
+    ctes = [
+        f"""s{i} AS (
+  SELECT t.doc_id, {_indri_mf_term_score_sql(t_, f_)} AS s
+  FROM ftfs t JOIN fdl l ON l.doc_id = t.doc_id AND l.field = '{f_}'
+  WHERE t.term = '{t_}' AND t.field = '{f_}'
+)"""
+        for i, (t_, f_) in enumerate(pairs)
+    ]
+    dl_joins = "\n  ".join(
+        f"LEFT JOIN (SELECT doc_id, doclen FROM fdl WHERE field = '{f_}') l{i}"
+        f" ON l{i}.doc_id = cands.doc_id"
+        for i, (_, f_) in enumerate(pairs)
+    )
+    s_joins = "\n  ".join(
+        f"LEFT JOIN s{i} ON s{i}.doc_id = cands.doc_id" for i in range(len(pairs))
+    )
+    cols = ", ".join(
+        f"coalesce(s{i}.s, {_indri_mf_default_sql(t_, f_, f'coalesce(l{i}.doclen, 0)')}) AS c{i}"
+        for i, (t_, f_) in enumerate(pairs)
+    )
+    per = f"""per AS (
+  SELECT cands.doc_id, {cols}
+  FROM cands
+  {dl_joins}
+  {s_joins}
+)"""
+    return ",\n".join([cands] + ctes + [per])
+
+
+def _q_indri_wsum_mf_topk(spark, sf_dir):
+    q = "#WSUM(" + " ".join(f"{w} {t}.{f}" for w, t, f in _MF_WSUM_SPEC) + ")"
+    return _topk_df(_engine(spark, sf_dir, INDRI), q, 100)
+
+
+def _wsum_mf_sql(spec, k: int) -> str:
+    pairs = [(t, f) for _, t, f in spec]
+    W = sum(w for w, _, _ in spec)
+    acc = "0.0"
+    for i, (w, _, _) in enumerate(spec):
+        acc = f"{acc} + c{i} * {w / W!r}"
+    return (
+        MF_SQL_PRELUDE
+        + ",\n"
+        + _indri_mf_join_sql(pairs)
+        + f",\nagg AS (SELECT doc_id, {acc} AS score FROM per)"
+        + _topk_sql(k)
+    )
+
+
+_register("indri_wsum_mf_topk", _q_indri_wsum_mf_topk, _wsum_mf_sql(_MF_WSUM_SPEC, 100))
+
+
 # -- PRF expansion (two-round) ------------------------------------------------
 
 _PRF_W_QUERY = "spark query table"
