@@ -47,6 +47,8 @@ HEADLINE = [
     "indri_and_topk",
     "indri_wand_topk",
     "indri_wsum_topk",
+    "indri_wsum_mf_topk",
+    "field_bm25_topk",
     "prf_term_weights",
     "letor_rerank_topk",
     "prospective_match",

@@ -599,7 +599,7 @@ def _indri_pivot_scores(ctx: EvalContext, children: list, combine) -> DataFrame 
         return None
     fields = {c.child.field for c in children}
     if len(fields) != 1:
-        return None
+        return _indri_pivot_scores_mf(ctx, children, combine)
     fld = fields.pop()
     c_len = ctx.index.corpus.sum_doclen(fld)
     p = ctx.model.indri
@@ -633,6 +633,76 @@ def _indri_pivot_scores(ctx: EvalContext, children: list, combine) -> DataFrame 
         )
         default = score_mod.indri_default_score(
             ctf=ctf_val, c_len=c_len, p=p, doclen=F.col("doclen")
+        )
+        cols.append(F.when(tf_col.isNotNull(), actual).otherwise(default))
+    return base.select("docid", combine(cols).alias("score"))
+
+
+def _indri_pivot_scores_mf(ctx: EvalContext, children: list, combine) -> DataFrame:
+    """Multi-field twin of the pivot plan (hw3's `#WSUM(w a.body w b.url ...)`
+    shape): each child's default score needs the doc's length in THAT child's
+    field, so per-field doclen rows from doc_stats are unioned into the SAME
+    single hash aggregate as the tagged postings (no join cascade — one
+    shuffle total). Docs surviving only via a doclen row (no actual posting
+    in any child) are dropped post-agg, which restores the reference's
+    union-of-candidates key set. A candidate with no tokens in a child's
+    field takes doclen 0 in that child's default (ScoreNode quirk above),
+    keeping this plan bit-identical to the chain-join path."""
+    flds = list(dict.fromkeys(c.child.field for c in children))
+    fidx = {f: j for j, f in enumerate(flds)}
+    p = ctx.model.indri
+
+    frames = []
+    for i, c in enumerate(children):
+        posts, _ = c._materialized(ctx)
+        posts = _with_doclen(ctx, posts, c.child.field)
+        frames.append(
+            posts.select(
+                "docid",
+                F.lit(i).alias("_ci"),
+                F.lit(fidx[c.child.field]).alias("_fi"),
+                F.col("tf").cast("int").alias("tf"),
+                F.col("doclen").cast("long").alias("doclen"),
+            )
+        )
+    for f, j in fidx.items():
+        frames.append(
+            ctx.index.doc_stats.where(F.col("field") == f).select(
+                "docid",
+                F.lit(None).cast("int").alias("_ci"),
+                F.lit(j).alias("_fi"),
+                F.lit(None).cast("int").alias("tf"),
+                F.col("doclen").cast("long").alias("doclen"),
+            )
+        )
+    unioned = reduce(DataFrame.unionByName, frames)
+    aggs = [
+        F.max(F.when(F.col("_ci") == i, F.col("tf"))).alias(f"_tf{i}")
+        for i in range(len(children))
+    ] + [
+        F.max(F.when(F.col("_fi") == j, F.col("doclen"))).alias(f"_dl{j}")
+        for j in range(len(flds))
+    ]
+    base = unioned.groupBy("docid").agg(*aggs)
+    is_cand = reduce(
+        lambda a, b: a | b,
+        [F.col(f"_tf{i}").isNotNull() for i in range(len(children))],
+    )
+    base = base.where(is_cand)
+
+    cols = []
+    for i, c in enumerate(children):
+        _, (_, ctf_val) = c._materialized(ctx)
+        fld = c.child.field
+        c_len = ctx.index.corpus.sum_doclen(fld)
+        tf_col = F.col(f"_tf{i}")
+        dl_col = F.col(f"_dl{fidx[fld]}")
+        actual = score_mod.indri_score(
+            ctf=ctf_val, c_len=c_len, p=p, tf=tf_col, doclen=dl_col
+        )
+        default = score_mod.indri_default_score(
+            ctf=ctf_val, c_len=c_len, p=p,
+            doclen=F.coalesce(dl_col, F.lit(0)),
         )
         cols.append(F.when(tf_col.isNotNull(), actual).otherwise(default))
     return base.select("docid", combine(cols).alias("score"))
