@@ -99,6 +99,13 @@ def main() -> None:
                          "— the workload shape of a real search cluster. "
                          "Without it, queries run one-at-a-time and the "
                          "per-query driver floor (Amdahl) caps efficiency.")
+    ap.add_argument("--queue-depth", type=int, default=1,
+                    help="serve-mode in-flight queries per core (both levels "
+                         "use the same per-core depth, so the N-vs-4N "
+                         "comparison stays resource-proportional). Depth >1 "
+                         "keeps executor threads fed while other queries' "
+                         "GIL-bound driver planning runs — the standing "
+                         "request queue every real search cluster has.")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -110,8 +117,8 @@ def main() -> None:
         f.write("\n".join(f"{qid}:{q}" for qid, q in QUERY_SET) + "\n")
 
     n_q = len(QUERY_SET)
-    conc_lo = min(args.low, n_q) if args.serve else 1
-    conc_hi = min(args.high, n_q) if args.serve else 1
+    conc_lo = min(args.low * args.queue_depth, n_q) if args.serve else 1
+    conc_hi = min(args.high * args.queue_depth, n_q) if args.serve else 1
     runs: dict[str, list[dict]] = {"lo": [], "hi": []}
     for _ in range(args.repeats):
         runs["lo"].append(
