@@ -86,12 +86,18 @@ def bm25_topk_pruned(
     avgdl = pidx.corpus.avgdl(fld)
 
     pairs = [(t, fld) for t in dict.fromkeys(terms)]
-    trows = {
-        r["term"]: (r["df"], r["ctf"])
-        for r in pidx.term_stats.where(pidx._stats_cond(pairs)).collect()
-    }
+    trows = (
+        {
+            r["term"]: (r["df"], r["ctf"])
+            for r in pidx.term_stats.where(pidx._stats_cond(pairs)).collect()
+        }
+        if pairs
+        else {}
+    )
     live_terms = [t for t, _ in pairs if t in trows]
     if not live_terms:
+        # all-stopword or absent-term query: same empty top-k the exact
+        # plan produces (the TREC sink then emits its dummy row)
         return rank_topk(
             spark.createDataFrame([], "docid long, score double"), pidx.doc_ids, k
         )
