@@ -335,7 +335,7 @@ def letor_rerank(
     raw = letor_features(spark, index, qtokens, candidates, cfg, **feature_kwargs)
     norm = normalize_features(raw, cfg.disable)
     scored = classify(norm, weights)
-    return rank_topk(scored, index.doc_ids, k)
+    return rank_topk(scored, index.doc_ids, k, n_docs=index.corpus.n_docs)
 
 
 # --------------------------------------------------------------------------

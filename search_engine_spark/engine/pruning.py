@@ -99,7 +99,8 @@ def bm25_topk_pruned(
         # all-stopword or absent-term query: same empty top-k the exact
         # plan produces (the TREC sink then emits its dummy row)
         return rank_topk(
-            spark.createDataFrame([], "docid long, score double"), pidx.doc_ids, k
+            spark.createDataFrame([], "docid long, score double"),
+            pidx.doc_ids, k, n_docs=n_docs,
         )
 
     # ---- 0. block metadata (driver-side; tiny, column-pruned) ------------
@@ -199,4 +200,4 @@ def bm25_topk_pruned(
     if survivors:
         frames.append(score_ranges(survivors))
     allscores = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
-    return rank_topk(allscores, pidx.doc_ids, k)
+    return rank_topk(allscores, pidx.doc_ids, k, n_docs=n_docs)

@@ -127,7 +127,10 @@ class Engine:
         try:
             # rank_topk collects the ≤k survivors, so the query's action
             # completes inside this call...
-            return rank_topk(self.scores(query), self.index.doc_ids, k)
+            return rank_topk(
+                self.scores(query), self.index.doc_ids, k,
+                n_docs=self.index.corpus.n_docs,
+            )
         finally:
             # ...and the composite-#SCORE postings it cached (pinned in
             # Spark's CacheManager, NOT released by Python GC of the AST)
