@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--salts", type=int, default=8)
     ap.add_argument("--salt-threshold", type=int, default=100_000)
     ap.add_argument("--block-size", type=int, default=1024)
+    ap.add_argument(
+        "--merge-partitions", type=int, default=0,
+        help="shuffle partitions for the segment merge (0 = engine default, "
+        "2x total cores; at cluster scale set to segment-bytes / ~128MB)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--conf", action="append", default=[], metavar="K=V",
@@ -105,6 +110,7 @@ def main() -> None:
         n_salts=args.salts,
         salt_threshold=args.salt_threshold,
         block_size=args.block_size,
+        merge_partitions=args.merge_partitions or None,
         fields={"body": "content"},
         tokenizer=CODE_TOKENIZER,
     )

@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int,
               threshold: int, confs: list[str] | None = None, pin: bool = False,
               executor_cores: int = 0, executor_mem: str = "6g",
-              warmup_files: int = 0) -> dict:
+              warmup_files: int = 0, merge_partitions: int = 0) -> dict:
     """One build at one parallelism level. ``executor_cores > 0`` switches
     from local[cores] to a standalone cluster of cores/executor_cores
     separate executor JVMs (tools/local_cluster.py) — the faithful stand-in
@@ -49,6 +49,8 @@ def run_level(cores: int, files: int, out_dir: str, buckets: int, salts: int,
     ]
     if warmup_files:
         cmd += ["--warmup-files", str(warmup_files)]
+    if merge_partitions:
+        cmd += ["--merge-partitions", str(merge_partitions)]
     for kv in confs or []:
         cmd += ["--conf", kv]
     if executor_cores:
@@ -95,6 +97,9 @@ def main() -> None:
                          "C-core executor JVMs instead of one local[N] JVM "
                          "(level/C executors; tools/local_cluster.py)")
     ap.add_argument("--executor-mem", default="6g")
+    ap.add_argument("--merge-partitions", type=int, default=0,
+                    help="override the merge shuffle partition count at BOTH "
+                         "levels (0 = engine default of 2x total cores)")
     ap.add_argument("--warmup-files", type=int, default=0, metavar="N",
                     help="untimed N-file build in each level's JVM before "
                          "its timed run (steady-state measurement; see "
@@ -108,13 +113,13 @@ def main() -> None:
             run_level(args.low, args.files, f"{args.workdir}/idx_lo",
                       args.buckets, args.salts, args.salt_threshold,
                       args.conf, args.pin, args.executor_cores, args.executor_mem,
-                      args.warmup_files)
+                      args.warmup_files, args.merge_partitions)
         )
         runs["hi"].append(
             run_level(args.high, args.files, f"{args.workdir}/idx_hi",
                       args.buckets, args.salts, args.salt_threshold,
                       args.conf, args.pin, args.executor_cores, args.executor_mem,
-                      args.warmup_files)
+                      args.warmup_files, args.merge_partitions)
         )
     lo = min(runs["lo"], key=lambda r: r["wall_sec"])
     hi = min(runs["hi"], key=lambda r: r["wall_sec"])
@@ -169,6 +174,8 @@ def main() -> None:
     pin_note = " (pinned)" if args.pin else ""
     if args.warmup_files:
         pin_note += f" (warm{args.warmup_files})"
+    if args.merge_partitions:
+        pin_note += f" (mp{args.merge_partitions})"
     if args.executor_cores:
         ec = args.executor_cores
         lo_lbl = f"{args.low // ec}x{ec}-core executors"
