@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from search_engine_spark.corpus import distributed_corpus_df, with_docids  # noqa: E402
 from search_engine_spark.index.persist import BuildConfig, build_persistent_index  # noqa: E402
 from search_engine_spark.session import get_spark  # noqa: E402
-from search_engine_spark.tokenize import CODE_TOKENIZER  # noqa: E402
+from search_engine_spark.tokenize import tokenizer_by_name  # noqa: E402
 
 
 def main() -> None:
@@ -50,6 +50,13 @@ def main() -> None:
         "--merge-partitions", type=int, default=0,
         help="shuffle partitions for the segment merge (0 = engine default, "
         "2x total cores; at cluster scale set to segment-bytes / ~128MB)",
+    )
+    ap.add_argument(
+        "--analyzer", default="code", metavar="NAME",
+        help="analyzer for content tokenization: code (default; identifier "
+        "split + language-keyword stopwords), whitespace, or english (the "
+        "reference's analyzer family: possessive strip + Lucene English "
+        "stopwords + Porter stem)",
     )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
@@ -98,7 +105,8 @@ def main() -> None:
             BuildConfig(
                 out_dir=wdir, n_buckets=args.buckets, n_salts=args.salts,
                 salt_threshold=args.salt_threshold, block_size=args.block_size,
-                fields={"body": "content"}, tokenizer=CODE_TOKENIZER,
+                fields={"body": "content"},
+                tokenizer=tokenizer_by_name(args.analyzer),
             ),
             resume=False,
         )
@@ -112,7 +120,7 @@ def main() -> None:
         block_size=args.block_size,
         merge_partitions=args.merge_partitions or None,
         fields={"body": "content"},
-        tokenizer=CODE_TOKENIZER,
+        tokenizer=tokenizer_by_name(args.analyzer),
     )
     counters = build_persistent_index(spark, docs, cfg, resume=not args.no_resume)
     wall = time.time() - t0

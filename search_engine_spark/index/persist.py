@@ -350,15 +350,41 @@ def _arrow_kernel_gen(cfg: BuildConfig):
         # tiny per-chunk vocab)
         import pyarrow.compute as pc
 
-        bad = pc.is_in(vocab, value_set=pa.array([""] + stop_list)).to_numpy(
-            zero_copy_only=False
-        )
+        inv = None
+        if tok.transforms_vocab:
+            # analyzer rewrite at VOCAB level (once per distinct raw token
+            # per chunk, never per occurrence): possessive-strip -> stopword
+            # flag (on the normalized form, pre-stem, matching the Lucene
+            # filter order) -> stem -> re-unify collapsed stems. `bad` stays
+            # in the ORIGINAL code space; `inv` remaps kept codes below.
+            vnorm = [tok.term_normalize(v) for v in vocab.to_pylist()]
+            stopset = tok.stopwords
+            bad = np.fromiter(
+                ((v == "") or (v in stopset) for v in vnorm),
+                dtype=bool,
+                count=len(vnorm),
+            )
+            uniq, inv = np.unique(
+                np.array([tok.term_stem(v) for v in vnorm], dtype=object),
+                return_inverse=True,
+            )
+            vocab = pa.array(uniq.tolist(), type=pa.string())
+        else:
+            bad = pc.is_in(vocab, value_set=pa.array([""] + stop_list)).to_numpy(
+                zero_copy_only=False
+            )
 
         tok_counts = np.diff(offsets)  # raw tokens per doc
         doc_idx = np.repeat(np.arange(docid_np.size, dtype=np.int64), tok_counts)
         keep = ~bad[codes]
         codes_f = codes[keep]
         doc_f = doc_idx[keep]
+        if inv is not None:
+            # remap onto the unified stemmed vocabulary; occurrences of
+            # distinct raw tokens collapsing to one stem interleave in stream
+            # order, so per-(term, doc) positions stay ascending (the stable
+            # argsort below preserves stream order within a key)
+            codes_f = inv[codes_f]
         if codes_f.size == 0:
             return None, None
         # post-filter doclen + within-doc 0-based positions
