@@ -26,7 +26,7 @@ from search_engine_spark.engine.runner import Engine  # noqa: E402
 from search_engine_spark.engine.topk import trec_lines  # noqa: E402
 from search_engine_spark.index.persist import PackedIndex  # noqa: E402
 from search_engine_spark.session import get_spark  # noqa: E402
-from search_engine_spark.tokenize import CODE_TOKENIZER  # noqa: E402
+from search_engine_spark.tokenize import tokenizer_by_name  # noqa: E402
 
 
 def main() -> None:
@@ -52,6 +52,7 @@ def main() -> None:
 
     spark = get_spark("run_queries", cores=args.cores)
     pidx = PackedIndex(spark, args.index)
+    qtok = tokenizer_by_name(pidx.tokenizer_name or "code")
 
     with open(args.queries) as f:
         pairs = [
@@ -67,12 +68,13 @@ def main() -> None:
         # thread: Engine.search releases its ctx caches after each query,
         # which must not drop a concurrent query's pinned frames
         if getattr(tl, "eng", None) is None:
-            tl.eng = Engine(pidx, ModelConfig(name=args.model), tokenizer=CODE_TOKENIZER)
+            # tokenizer resolved from the index manifest (§1.4 invariant)
+            tl.eng = Engine(pidx, ModelConfig(name=args.model))
         return tl.eng
 
     def answer(qid: str, text: str) -> tuple[str, list[str], float]:
         tq = time.time()
-        toks = CODE_TOKENIZER.tokenize(text)
+        toks = qtok.tokenize(text)
         if args.pruned and args.model == BM25 and "#" not in text:
             rows = [r.asDict() for r in bm25_topk_pruned(pidx, toks, args.k).collect()]
         else:

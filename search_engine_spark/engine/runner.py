@@ -33,9 +33,29 @@ def _collect_terms(ast) -> set[str]:
 class Engine:
     index: IndexTables
     model: ModelConfig = ModelConfig()
-    tokenizer: Tokenizer = WHITESPACE_TOKENIZER
+    # None = resolve from the index's recorded analyzer (manifest lineage /
+    # IndexTables.tokenizer_name), falling back to whitespace for legacy
+    # indexes. Passing one explicitly is validated against the record: the
+    # reference warns a doc/query analyzer mismatch silently yields zero
+    # results (hw1/QryEval/ReadMe.txt) — here it is a hard error instead.
+    tokenizer: Tokenizer | None = None
     default_field: str = DEFAULT_FIELD
     _ctx: EvalContext | None = dc_field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        recorded = getattr(self.index, "tokenizer_name", None)
+        if self.tokenizer is None:
+            from search_engine_spark.tokenize import tokenizer_by_name
+
+            self.tokenizer = (
+                tokenizer_by_name(recorded) if recorded else WHITESPACE_TOKENIZER
+            )
+        elif recorded is not None and recorded != self.tokenizer.name:
+            raise ValueError(
+                f"query tokenizer {self.tokenizer.name!r} != index analyzer "
+                f"{recorded!r} — doc and query sides must share the analyzer "
+                "(SURVEY.md §1.4); pass tokenizer=None to use the index's"
+            )
 
     @property
     def ctx(self) -> EvalContext:

@@ -57,6 +57,9 @@ class IndexTables:
     term_stats: DataFrame   # term, field, df, ctf
     corpus: CorpusStats
     fields: tuple
+    # analyzer the index was built with (None = unrecorded/legacy): Engine
+    # validates its query tokenizer against this — the §1.4 invariant
+    tokenizer_name: str | None = None
 
     def term_postings(self, term: str, fld: str) -> DataFrame:
         """TERM scan (QryopIlTerm.java:56-60): one term's posting list.
@@ -295,4 +298,5 @@ def build_index(
         term_stats=term_stats,
         corpus=corpus,
         fields=tuple(fields),
+        tokenizer_name=tokenizer.name,
     )

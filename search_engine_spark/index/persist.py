@@ -1503,6 +1503,7 @@ class PackedIndex(IndexTables):
             term_stats=spark.read.parquet(f"{out_dir}/term_stats"),
             corpus=CorpusStats(n_docs=st["n_docs"], by_field=st["by_field"]),
             fields=tuple(sorted({f for f in st["by_field"]})),
+            tokenizer_name=man.data["lineage"].get("tokenizer"),
         )
         self.packed = packed
 

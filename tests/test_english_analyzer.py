@@ -270,6 +270,27 @@ def test_rank_identity_vs_pyoracle_english(eng_mem_index, eng_oracle, model, q):
         assert g[3] == pytest.approx(w[3], rel=1e-9, abs=1e-12)
 
 
+def test_engine_resolves_and_guards_analyzer(eng_packed, eng_mem_index):
+    """§1.4 invariant, enforced mechanically: the engine resolves the
+    analyzer recorded in the index (manifest lineage for PackedIndex,
+    tokenizer_name for in-memory tables) and refuses a mismatched one —
+    the reference's silent zero-results footgun becomes a hard error."""
+    from search_engine_spark.tokenize import CODE_TOKENIZER
+
+    assert eng_packed.tokenizer_name == "english"
+    assert eng_mem_index.tokenizer_name == "english"
+    eng = Engine(eng_packed, ModelConfig(name=BM25))  # auto-resolve
+    assert eng.tokenizer is ENGLISH_TOKENIZER
+    with pytest.raises(ValueError, match="must share the analyzer"):
+        Engine(eng_packed, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
+    # legacy index without a record: defaults to whitespace, no guard
+    import dataclasses
+
+    legacy = dataclasses.replace(eng_mem_index, tokenizer_name=None)
+    assert Engine(legacy, ModelConfig(name=BM25)).tokenizer.name == "whitespace"
+    Engine(legacy, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)  # allowed
+
+
 def test_stem_collapse_single_posting(eng_mem_index, eng_packed):
     """d07: 'run run run — a running tally of runs' -> post-stop tokens
     [run, run, run, run, tally, run] -> ONE posting for 'run' with tf=5 and
