@@ -102,6 +102,10 @@ class BuildConfig:
     # (the fast path — no per-token Python objects); "python" = the
     # per-token reference kernel (kept for the equivalence test)
     kernel: str = "arrow"
+    # merge kernel: "vec" = whole-partition numpy/Arrow kernel (one decode/
+    # encode pass per stream, zero-copy output); "pandas" = the per-group
+    # reference kernel (kept for the bit-identity test)
+    merge_kernel: str = "vec"
 
 
 PACKED_SCHEMA = T.StructType(
@@ -664,13 +668,18 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
 
 
 def _packed_writer_rows(
-    part_df: DataFrame, n_salts: int, max_docid: int, block_size: int, pk_dir: str
+    part_df: DataFrame, n_salts: int, max_docid: int, block_size: int,
+    pk_dir: str, merge_kernel: str = "vec"
 ) -> DataFrame:
     """Merge pass with python-side parquet write: each shuffle partition
     merges its (term, field, salt) groups (sorted by key, so parquet
     row-group min/max stats on `term` prune query scans) and writes one
     packed file, returning (kind, file, rows) manifest rows."""
-    inner = make_merge_partition(n_salts, max_docid, block_size)
+    make = (
+        make_merge_partition_vec if merge_kernel == "vec"
+        else make_merge_partition
+    )
+    inner = make(n_salts, max_docid, block_size)
 
     def gen(batches):
         import pyarrow as pa
@@ -870,6 +879,200 @@ def make_merge_partition(n_salts: int, max_docid: int, block_size: int):
         ]
         res = pd.concat(outs, ignore_index=True)
         out_tbl = pa.Table.from_pandas(res, schema=schema, preserve_index=False)
+        yield from out_tbl.to_batches(max_chunksize=4096)
+
+    return merge_partition
+
+
+def _binary_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column -> (flat uint8 data in row order, per-row byte
+    lengths) without per-row python objects. Works on sliced/combined arrays
+    by normalizing through the offsets buffer."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("segment binary columns must be non-null")
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    if len(arr) == 0:
+        return data[:0], lens
+    # slice to the rows' actual span so `starts` below can assume cumsum(lens)
+    data = data[offs[0] : offs[-1]]
+    return data, lens
+
+
+def make_merge_partition_vec(n_salts: int, max_docid: int, block_size: int):
+    """Vectorized twin of :func:`make_merge_partition` — bit-identical output
+    (asserted by tests/test_merge_vec.py), one numpy pass per STREAM per
+    partition instead of per group.
+
+    The per-group formulation spent more time in pandas than in byte work:
+    profiling the 1M-file merge showed ~40% of the 74 s single-core kernel in
+    per-group ``pd.DataFrame`` construction / ``sort_values`` / groupby
+    bookkeeping (16k groups) and the rest split across 49k small varint
+    calls. Here the whole partition is ONE decode, ONE salt filter, ONE
+    (rare) re-sort, ONE block cut and ONE varint encode per stream; the
+    output binary columns are zero-copy ``BinaryArray.from_buffers`` slices
+    of the partition-wide streams (block slices are contiguous in stream
+    order by construction). Group boundaries are numpy boundary arrays, so
+    per-group cost is O(1) numpy rows, not a pandas frame."""
+    import pyarrow as pa
+
+    def merge_partition(batches):
+        bl = list(batches)
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        if tbl.num_rows == 0:
+            return
+        nrows = tbl.num_rows
+
+        term_r = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        field_r = np.asarray(tbl.column("field").to_pylist(), dtype=object)
+        salt_r = tbl.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+        salted_r = tbl.column("salted").to_numpy(zero_copy_only=False).astype(bool)
+        n_r = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        mind_r = tbl.column("min_docid").to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # ---- group order: (term, field, salt) ascending, rows by min_docid
+        # inside each group (matches groupby(sort=True) + sort_values) -------
+        tcode = np.unique(term_r, return_inverse=True)[1]
+        fcode = np.unique(field_r, return_inverse=True)[1]
+        order = np.lexsort((mind_r, salt_r, fcode, tcode))
+        tcode, fcode = tcode[order], fcode[order]
+        salt_r, salted_r = salt_r[order], salted_r[order]
+        n_r, term_r, field_r = n_r[order], term_r[order], field_r[order]
+
+        # ---- binaries reordered to row order in ONE gather per stream ------
+        db, d_lens = _binary_flat(tbl.column("docids"))
+        tb, t_lens = _binary_flat(tbl.column("tfs"))
+        lb, l_lens = _binary_flat(tbl.column("doclens"))
+        pb, p_lens = _binary_flat(tbl.column("positions"))
+        db = _gather_runs(db, d_lens, order)
+        tb = _gather_runs(tb, t_lens, order)
+        lb = _gather_runs(lb, l_lens, order)
+        pb = _gather_runs(pb, p_lens, order)
+
+        total = int(n_r.sum())
+        # per-row group ids (boundary where any key changes)
+        newg = np.ones(nrows, dtype=bool)
+        if nrows > 1:
+            newg[1:] = (
+                (np.diff(tcode) != 0) | (np.diff(fcode) != 0)
+                | (np.diff(salt_r) != 0)
+            )
+        gid_r = np.cumsum(newg) - 1
+
+        # ---- decode whole-partition streams once ----------------------------
+        gaps = varint_decode(db.tobytes(), total).astype(np.int64)
+        S = np.cumsum(gaps)
+        rstarts = np.concatenate(([0], np.cumsum(n_r)[:-1]))
+        corr = np.repeat(S[rstarts] - gaps[rstarts], n_r)
+        d_all = S - corr
+        t_all = varint_decode(tb.tobytes(), total).astype(np.int64)
+        l_all = varint_decode(lb.tobytes(), total).astype(np.int64)
+        p_all = pb
+        plen_all = positions_byte_lengths(p_all.tobytes(), t_all)
+        gid = np.repeat(gid_r, n_r)
+
+        # ---- salt filter (vectorized across every salted group) ------------
+        if salted_r.any():
+            salted_p = np.repeat(salted_r, n_r)
+            salt_p = np.repeat(salt_r, n_r)
+            mask = ~salted_p | ((d_all * n_salts) // (max_docid + 1) == salt_p)
+            if not mask.all():
+                keep = np.flatnonzero(mask)
+                p_all = _gather_runs(p_all, plen_all, keep)
+                plen_all = plen_all[keep]
+                d_all, t_all, l_all = d_all[keep], t_all[keep], l_all[keep]
+                gid = gid[keep]
+
+        # ---- per-group ascending-docid repair (pid-hash interleaving) ------
+        if d_all.size > 1:
+            bad = (np.diff(d_all) <= 0) & (np.diff(gid) == 0)
+            if bad.any():
+                bad_g = np.zeros(int(gid_r[-1]) + 1, dtype=bool)
+                bad_g[gid[np.flatnonzero(bad)]] = True
+                bad_g[gid[np.flatnonzero(bad) + 1]] = True
+                member = bad_g[gid]
+                idx = np.flatnonzero(member)
+                sub = idx[np.lexsort((d_all[idx], gid[idx]))]
+                perm = np.arange(d_all.size)
+                perm[idx] = sub
+                p_all = _gather_runs(p_all, plen_all, perm)
+                plen_all = plen_all[perm]
+                d_all, t_all, l_all = d_all[perm], t_all[perm], l_all[perm]
+                # gid is unchanged by an in-group permutation
+
+        if d_all.size == 0:
+            return
+
+        # ---- per-group posting spans (groups emptied by the filter drop) ---
+        gnew = np.ones(d_all.size, dtype=bool)
+        gnew[1:] = np.diff(gid) != 0
+        gstarts = np.flatnonzero(gnew)
+        gends = np.concatenate((gstarts[1:], [d_all.size]))
+        g_ids = gid[gstarts]  # original group id of each surviving group
+        # row index of each group's first row (for term/field/salt lookup)
+        g_first_row = np.flatnonzero(newg)[g_ids]
+
+        # ---- block structure -------------------------------------------------
+        m = gends - gstarts
+        nblk = (m + block_size - 1) // block_size
+        tot_blk = int(nblk.sum())
+        first_blk = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+        local = np.arange(tot_blk) - np.repeat(first_blk, nblk)
+        bstarts = np.repeat(gstarts, nblk) + local * block_size
+        bends = np.minimum(bstarts + block_size, np.repeat(gends, nblk))
+
+        # ---- encode streams once, block-absolute docid restarts -------------
+        gaps_out = np.empty(d_all.size, dtype=np.int64)
+        gaps_out[0] = d_all[0]
+        np.subtract(d_all[1:], d_all[:-1], out=gaps_out[1:])
+        gaps_out[bstarts] = d_all[bstarts]
+        d_bytes, d_off = varint_encode_with_offsets(gaps_out.astype(np.uint64))
+        t_bytes, t_off = varint_encode_with_offsets(t_all.astype(np.uint64))
+        l_bytes, l_off = varint_encode_with_offsets(l_all.astype(np.uint64))
+        p_off = np.concatenate(([0], np.cumsum(plen_all)))
+
+        def bin_col(stream: bytes, off: np.ndarray) -> "pa.Array":
+            # consecutive blocks tile the stream: offsets at block starts
+            # plus the final end — zero-copy BinaryArray
+            cut = np.concatenate((off[bstarts], [off[int(bends[-1])]]))
+            if cut[-1] > np.iinfo(np.int32).max:
+                raise ValueError("partition stream exceeds 2GB binary limit")
+            return pa.Array.from_buffers(
+                pa.binary(), tot_blk,
+                [None, pa.py_buffer(cut.astype(np.int32).tobytes()),
+                 pa.py_buffer(stream)],
+            )
+
+        max_tf_b = np.maximum.reduceat(t_all, bstarts)
+        min_dl_b = np.minimum.reduceat(l_all, bstarts)
+        out_tbl = pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(term_r[g_first_row], nblk), type=pa.string()),
+                pa.array(np.repeat(field_r[g_first_row], nblk), type=pa.string()),
+                pa.array(np.repeat(salt_r[g_first_row], nblk).astype(np.int32)),
+                pa.array(local.astype(np.int32)),
+                pa.array((bends - bstarts).astype(np.int32)),
+                pa.array(d_all[bstarts]),
+                pa.array(d_all[bends - 1]),
+                pa.array(max_tf_b.astype(np.int32)),
+                pa.array(min_dl_b),
+                bin_col(d_bytes, d_off),
+                bin_col(t_bytes, t_off),
+                bin_col(l_bytes, l_off),
+                bin_col(bytes(p_all.tobytes()), p_off),
+            ],
+            schema=_packed_arrow_schema(),
+        )
         yield from out_tbl.to_batches(max_chunksize=4096)
 
     return merge_partition
@@ -1299,7 +1502,10 @@ def build_persistent_index(
     block_size = cfg.block_size
 
     # ---- per-bucket packed postings build (segment MERGE phase) ---------
-    merge_partition = make_merge_partition(n_salts, max_docid, block_size)
+    merge_partition = (
+        make_merge_partition_vec if cfg.merge_kernel == "vec"
+        else make_merge_partition
+    )(n_salts, max_docid, block_size)
     # merge parallelism: partitions hold complete (term,field,salt) groups
     # (repartition hashes the full group key); sized to ~2 waves per core
     # locally — at cluster scale set it to segment-bytes / ~128MB
@@ -1410,7 +1616,7 @@ def build_persistent_index(
         os.makedirs(pk_dir, exist_ok=True)
         part_df = joined.repartition(merge_parts, "term", "field", "salt")
         wrows = _packed_writer_rows(
-            part_df, n_salts, max_docid, block_size, pk_dir
+            part_df, n_salts, max_docid, block_size, pk_dir, cfg.merge_kernel
         ).collect()
         _write_side_manifest(
             pk_dir,

@@ -26,6 +26,18 @@ def get_spark(
     partitions: pass the cluster's total task cores."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # glibc allocator pinning for the python workers (and driver): keep
+    # large numpy temps on the reusable brk heap instead of fresh mmap
+    # regions. On this sandbox VM, first-touch page faulting of new mmap'd
+    # pages is stochastically slow (measured 0.5-9 s to materialize a 224 MB
+    # array vs 0.1 s on reuse — the same pathology BENCH_SCALING.md's
+    # membw probe documents), and every large kernel temp re-paid it because
+    # glibc returns >threshold chunks to the OS on free. With the threshold
+    # raised, a worker faults its high-water heap once and every later task
+    # reuses it. Real clusters fault pages at normal speed, where this is
+    # merely neutral; memory cost is bounded by a worker's peak live temps.
+    for env_k in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(env_k, "1073741824")
     b = (
         SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app)
@@ -60,6 +72,10 @@ def get_spark(
         b = b.config("spark.executorEnv.PYTHONPATH", repo_root).config(
             "spark.pyspark.python", sys.executable
         )
+        # allocator pinning must reach the EXECUTOR JVMs' python daemons too
+        # (the local-mode path inherits it from os.environ above)
+        for env_k in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+            b = b.config(f"spark.executorEnv.{env_k}", os.environ[env_k])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
