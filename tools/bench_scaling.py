@@ -176,6 +176,9 @@ def main() -> None:
         pin_note += f" (warm{args.warmup_files})"
     if args.merge_partitions:
         pin_note += f" (mp{args.merge_partitions})"
+    for kv in args.conf:
+        if kv.startswith("spark.io.compression.codec="):
+            pin_note += f" (codec={kv.split('=', 1)[1]})"
     if args.executor_cores:
         ec = args.executor_cores
         lo_lbl = f"{args.low // ec}x{ec}-core executors"
