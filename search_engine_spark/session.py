@@ -59,6 +59,18 @@ def get_spark(
         # per task, and the implicit sort re-buffered the whole (binary-
         # heavy) task output before writing
         .config("spark.sql.maxConcurrentOutputFileWriters", "32")
+        # zstd shuffle/broadcast/spill compression: the merge stage moves the
+        # whole segment stream (~63% of corpus bytes) through the shuffle, and
+        # on the 4x1-core executor harness it is bandwidth-bound, not
+        # CPU-bound. A/B at 300k (BENCH_SCALING.md chain-8, interleaved pairs):
+        # zstd lifted the 4-executor level 6013/6462 -> 7586/7635 f/s (+18-27%)
+        # with the 1-core level unchanged — fewer bytes through the shared-DRAM
+        # fetch path. On a real cluster the same ratio cut applies to NETWORK
+        # shuffle traffic, which is the scarcer resource at 1000 executors.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
