@@ -106,6 +106,13 @@ class BuildConfig:
     # encode pass per stream, zero-copy output); "pandas" = the per-group
     # reference kernel (kept for the bit-identity test)
     merge_kernel: str = "vec"
+    # parquet codec for the SEGMENT files only (write-once, read-once by the
+    # merge): trades segment-stage compress CPU against merge-stage scan
+    # bytes. The packed index stays snappy — it is read on every query, where
+    # decode latency dominates. Env default so bench chains can A/B it.
+    segment_codec: str = dc_field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_SEGMENT_CODEC", "snappy")
+    )
 
 
 PACKED_SCHEMA = T.StructType(
@@ -573,8 +580,9 @@ class _TaskParquetWriter:
 
     FLUSH_BYTES = 128 << 20
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, codec: str = "snappy"):
         self.path = path
+        self.codec = codec
         self._buf: list = []
         self._nbytes = 0
         self.rows = 0
@@ -598,7 +606,7 @@ class _TaskParquetWriter:
         tbl = pa.Table.from_batches(self._buf)
         if self._writer is None:
             self._writer = pq.ParquetWriter(
-                self.path, tbl.schema, compression="snappy"
+                self.path, tbl.schema, compression=self.codec
             )
         self._writer.write_table(tbl)
         self._buf, self._nbytes = [], 0
@@ -628,6 +636,7 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
     kernel and writes its term rows / marker rows to its own two files under
     ``seg_dir``, returning (kind, file, rows) manifest rows."""
     inner = _arrow_kernel_gen(cfg)
+    codec = cfg.segment_codec
 
     def gen(batches):
         import pyarrow as pa
@@ -639,7 +648,10 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
         def sink(kind: str) -> _TaskParquetWriter:
             if kind not in sinks:
                 fname = f"{kind}-{tag}.parquet"
-                sinks[kind] = (_TaskParquetWriter(os.path.join(seg_dir, fname)), fname)
+                sinks[kind] = (
+                    _TaskParquetWriter(os.path.join(seg_dir, fname), codec),
+                    fname,
+                )
             return sinks[kind][0]
 
         mset = pa.array(MARKER_TERMS)

@@ -179,6 +179,8 @@ def main() -> None:
     for kv in args.conf:
         if kv.startswith("spark.io.compression.codec="):
             pin_note += f" (codec={kv.split('=', 1)[1]})"
+    if os.environ.get("SPARK_GRAFT_SEGMENT_CODEC"):
+        pin_note += f" (seg={os.environ['SPARK_GRAFT_SEGMENT_CODEC']})"
     if args.executor_cores:
         ec = args.executor_cores
         lo_lbl = f"{args.low // ec}x{ec}-core executors"
