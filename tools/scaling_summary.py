@@ -1,0 +1,131 @@
+"""Segmented summary of the BENCH_SCALING.md history rows.
+
+The history table is append-only and unfiltered by design (every invocation,
+good window or bad); the narrative reports medians/bests over the relevant
+SEGMENT of it — same input size, same harness (local[N] vs real multi-JVM
+executor cluster), same methodology tags (pinned / warm / codec). Computing
+those by hand has already produced one shipped slip, so this script is the
+single source for every distribution number quoted in BENCH_SCALING.md,
+BASELINE.md, and the memory notes:
+
+    python tools/scaling_summary.py            # all segments
+    python tools/scaling_summary.py --json     # machine-readable
+
+A row is parsed from the markdown line bench_scaling.py / bench_query_scaling.py
+append (`| <files> | <lo label> <f/s> (<s>) | <hi label> ... | <x>x | <eff> |`);
+prose tables (per-stage, DRAM probe) don't match the pattern and are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import statistics
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ROW = re.compile(
+    r"^\| (?P<files>\d+)(?P<query> \(QUERY x\d+\))? \| "
+    r"(?P<lo>.+?) \| (?P<hi>.+?) \| (?P<speedup>[\d.]+)x \| "
+    r"(?P<eff>[\d.]+) \|(?P<note>.*)$"
+)
+
+# the query rows before commit c0348f8 used a query set whose vocabulary
+# didn't exist in the corpus (12/20 matched nothing) — annotated as
+# superseded in the narrative; excluded from the validated distributions
+VACUOUS_QUERY_EFFS = {0.758, 0.733, 0.926, 0.642}
+
+
+def level_tags(label: str) -> str:
+    """Harness + methodology segment key from the level label."""
+    m = re.match(r"(?:(\d+)x(\d+)-core executors|local\[(\d+)\])", label)
+    if m and m.group(1):
+        harness = f"exec-cluster {m.group(2)}-core"
+    elif "exec" in label:
+        harness = "exec-cluster"
+    else:
+        harness = "local[N]"
+    tags = [harness]
+    if "(pinned)" in label:
+        tags.append("pinned")
+    w = re.search(r"\(warm(\d+)\)", label)
+    if w:
+        tags.append("warm")
+    c = re.search(r"\(codec=(\w+)\)", label)
+    tags.append(f"shuffle={c.group(1) if c else 'lz4'}")
+    s = re.search(r"\(seg=(\w+)\)", label)
+    if s:
+        tags.append(f"seg={s.group(1)}")
+    mp = re.search(r"\(mp(\d+)\)", label)
+    if mp:
+        tags.append(f"mp{mp.group(1)}")
+    q = re.search(r"\(serve c=(\d+/\d+)\)", label)
+    if q:
+        tags.append(f"serve c={q.group(1)}")
+    return " ".join(tags)
+
+
+def parse(path: str) -> list[dict]:
+    rows = []
+    for line in open(path):
+        m = ROW.match(line.rstrip())
+        if not m:
+            continue
+        d = m.groupdict()
+        rows.append(
+            {
+                "files": int(d["files"]),
+                "kind": "query" if d["query"] else "build",
+                "segment": level_tags(d["lo"].strip()),
+                "eff": float(d["eff"]),
+                "speedup": float(d["speedup"]),
+            }
+        )
+    return rows
+
+
+def summarize(rows: list[dict]) -> list[dict]:
+    groups: dict[tuple, list[float]] = {}
+    for r in rows:
+        if r["kind"] == "query" and r["eff"] in VACUOUS_QUERY_EFFS:
+            key = (r["kind"], r["files"], r["segment"] + " [superseded vocab]")
+        else:
+            key = (r["kind"], r["files"], r["segment"])
+        groups.setdefault(key, []).append(r["eff"])
+    out = []
+    for (kind, files, seg), effs in sorted(groups.items()):
+        out.append(
+            {
+                "kind": kind,
+                "files": files,
+                "segment": seg,
+                "n": len(effs),
+                "median": round(statistics.median(effs), 3),
+                "best": max(effs),
+                "effs": sorted(effs),
+            }
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--path", default=os.path.join(REPO, "BENCH_SCALING.md"))
+    args = ap.parse_args()
+    summary = summarize(parse(args.path))
+    if args.json:
+        print(json.dumps(summary, indent=1))
+        return
+    for g in summary:
+        print(
+            f"{g['kind']:5s} {g['files']:>8d}  {g['segment']:<55s} "
+            f"n={g['n']:<3d} median={g['median']:.3f} best={g['best']:.3f}"
+        )
+        print(f"{'':22s}{g['effs']}")
+
+
+if __name__ == "__main__":
+    main()
