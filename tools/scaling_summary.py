@@ -53,8 +53,10 @@ def level_tags(label: str) -> str:
     w = re.search(r"\(warm(\d+)\)", label)
     if w:
         tags.append("warm")
+    # untagged rows ran the session default — lz4 before commit cb43bb8
+    # made zstd the engine default, zstd after; the label can't tell which
     c = re.search(r"\(codec=(\w+)\)", label)
-    tags.append(f"shuffle={c.group(1) if c else 'lz4'}")
+    tags.append(f"shuffle={c.group(1) if c else 'default'}")
     s = re.search(r"\(seg=(\w+)\)", label)
     if s:
         tags.append(f"seg={s.group(1)}")
