@@ -113,6 +113,18 @@ class BuildConfig:
     segment_codec: str = dc_field(
         default_factory=lambda: os.environ.get("SPARK_GRAFT_SEGMENT_CODEC", "snappy")
     )
+    # merge-kernel working-set bound (postings per decode→encode pass; 0 =
+    # whole partition). Chunking is bit-identical (cuts land on group
+    # boundaries) and keeps the kernel's ~8 int64 temporaries small enough
+    # to stay allocator/cache-resident when several merge tasks share a
+    # host's memory system — tools/merge_kernel_probe.py measured the
+    # whole-partition kernel inflating 5.7x per-task at 4-way co-residency
+    # on disjoint inputs vs 1.18x for the streaming segment kernel.
+    merge_chunk_postings: int = dc_field(
+        default_factory=lambda: int(
+            os.environ.get("SPARK_GRAFT_MERGE_CHUNK", "1000000")
+        )
+    )
 
 
 PACKED_SCHEMA = T.StructType(
@@ -681,17 +693,19 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
 
 def _packed_writer_rows(
     part_df: DataFrame, n_salts: int, max_docid: int, block_size: int,
-    pk_dir: str, merge_kernel: str = "vec"
+    pk_dir: str, merge_kernel: str = "vec",
+    merge_chunk_postings: int | None = None,
 ) -> DataFrame:
     """Merge pass with python-side parquet write: each shuffle partition
     merges its (term, field, salt) groups (sorted by key, so parquet
     row-group min/max stats on `term` prune query scans) and writes one
     packed file, returning (kind, file, rows) manifest rows."""
-    make = (
-        make_merge_partition_vec if merge_kernel == "vec"
-        else make_merge_partition
-    )
-    inner = make(n_salts, max_docid, block_size)
+    if merge_kernel == "vec":
+        inner = make_merge_partition_vec(
+            n_salts, max_docid, block_size, merge_chunk_postings
+        )
+    else:
+        inner = make_merge_partition(n_salts, max_docid, block_size)
 
     def gen(batches):
         import pyarrow as pa
@@ -919,21 +933,37 @@ def _binary_flat(col) -> tuple[np.ndarray, np.ndarray]:
     return data, lens
 
 
-def make_merge_partition_vec(n_salts: int, max_docid: int, block_size: int):
+def make_merge_partition_vec(
+    n_salts: int, max_docid: int, block_size: int,
+    chunk_postings: int | None = None,
+):
     """Vectorized twin of :func:`make_merge_partition` — bit-identical output
     (asserted by tests/test_merge_vec.py), one numpy pass per STREAM per
-    partition instead of per group.
+    chunk instead of per group.
 
     The per-group formulation spent more time in pandas than in byte work:
     profiling the 1M-file merge showed ~40% of the 74 s single-core kernel in
     per-group ``pd.DataFrame`` construction / ``sort_values`` / groupby
     bookkeeping (16k groups) and the rest split across 49k small varint
-    calls. Here the whole partition is ONE decode, ONE salt filter, ONE
-    (rare) re-sort, ONE block cut and ONE varint encode per stream; the
-    output binary columns are zero-copy ``BinaryArray.from_buffers`` slices
-    of the partition-wide streams (block slices are contiguous in stream
-    order by construction). Group boundaries are numpy boundary arrays, so
-    per-group cost is O(1) numpy rows, not a pandas frame."""
+    calls. Here each chunk is ONE decode, ONE salt filter, ONE (rare)
+    re-sort, ONE block cut and ONE varint encode per stream; the output
+    binary columns are zero-copy ``BinaryArray.from_buffers`` slices of the
+    chunk-wide streams (block slices are contiguous in stream order by
+    construction). Group boundaries are numpy boundary arrays, so per-group
+    cost is O(1) numpy rows, not a pandas frame.
+
+    ``chunk_postings`` bounds the kernel's working set: the sorted rows are
+    cut at group boundaries into runs of ~chunk_postings postings and each
+    run makes a full decode→filter→encode pass of its own. The whole-
+    partition formulation (chunk_postings=None) materializes ~8 int64
+    temporaries of the full partition's posting count (~120 MB each at a
+    1M-file merge partition) — tools/merge_kernel_probe.py measured its
+    per-task time inflating 5.7x when four pinned processes run on DISJOINT
+    partitions (the box's shared memory system, not code), while the
+    streaming segment kernel inflates only 1.18x. Chunking keeps the
+    temporaries allocator/cache-resident across iterations; output rows and
+    bytes are identical either way (the chunk cuts land on group boundaries
+    and every computation is group-local)."""
     import pyarrow as pa
 
     def merge_partition(batches):
@@ -961,131 +991,158 @@ def make_merge_partition_vec(n_salts: int, max_docid: int, block_size: int):
         salt_r, salted_r = salt_r[order], salted_r[order]
         n_r, term_r, field_r = n_r[order], term_r[order], field_r[order]
 
-        # ---- binaries reordered to row order in ONE gather per stream ------
+        # flat binary streams stay in ORIGINAL row order; each chunk gathers
+        # only its own rows via order[lo:hi]
         db, d_lens = _binary_flat(tbl.column("docids"))
         tb, t_lens = _binary_flat(tbl.column("tfs"))
         lb, l_lens = _binary_flat(tbl.column("doclens"))
         pb, p_lens = _binary_flat(tbl.column("positions"))
-        db = _gather_runs(db, d_lens, order)
-        tb = _gather_runs(tb, t_lens, order)
-        lb = _gather_runs(lb, l_lens, order)
-        pb = _gather_runs(pb, p_lens, order)
 
-        total = int(n_r.sum())
-        # per-row group ids (boundary where any key changes)
+        # per-row group starts (boundary where any key changes), sorted order
         newg = np.ones(nrows, dtype=bool)
         if nrows > 1:
             newg[1:] = (
                 (np.diff(tcode) != 0) | (np.diff(fcode) != 0)
                 | (np.diff(salt_r) != 0)
             )
-        gid_r = np.cumsum(newg) - 1
 
-        # ---- decode whole-partition streams once ----------------------------
-        gaps = varint_decode(db.tobytes(), total).astype(np.int64)
-        S = np.cumsum(gaps)
-        rstarts = np.concatenate(([0], np.cumsum(n_r)[:-1]))
-        corr = np.repeat(S[rstarts] - gaps[rstarts], n_r)
-        d_all = S - corr
-        t_all = varint_decode(tb.tobytes(), total).astype(np.int64)
-        l_all = varint_decode(lb.tobytes(), total).astype(np.int64)
-        p_all = pb
-        plen_all = positions_byte_lengths(p_all.tobytes(), t_all)
-        gid = np.repeat(gid_r, n_r)
+        # ---- group-aligned chunk row-ranges -------------------------------
+        if chunk_postings and chunk_postings > 0:
+            g_rows = np.flatnonzero(newg)  # first row of each group
+            cum = np.concatenate(([0], np.cumsum(n_r)))
+            # chunk index of each group by its starting posting offset
+            cidx = cum[g_rows] // chunk_postings
+            newc = np.ones(len(g_rows), dtype=bool)
+            if len(g_rows) > 1:
+                newc[1:] = np.diff(cidx) != 0
+            cut_rows = g_rows[np.flatnonzero(newc)]
+            ranges = list(zip(cut_rows, np.concatenate((cut_rows[1:], [nrows]))))
+        else:
+            ranges = [(0, nrows)]
 
-        # ---- salt filter (vectorized across every salted group) ------------
-        if salted_r.any():
-            salted_p = np.repeat(salted_r, n_r)
-            salt_p = np.repeat(salt_r, n_r)
-            mask = ~salted_p | ((d_all * n_salts) // (max_docid + 1) == salt_p)
-            if not mask.all():
-                keep = np.flatnonzero(mask)
-                p_all = _gather_runs(p_all, plen_all, keep)
-                plen_all = plen_all[keep]
-                d_all, t_all, l_all = d_all[keep], t_all[keep], l_all[keep]
-                gid = gid[keep]
+        for lo, hi in ranges:
+            lo, hi = int(lo), int(hi)
+            n_c = n_r[lo:hi]
+            total = int(n_c.sum())
+            if total == 0:
+                continue
+            ord_c = order[lo:hi]
+            db_c = _gather_runs(db, d_lens, ord_c)
+            tb_c = _gather_runs(tb, t_lens, ord_c)
+            lb_c = _gather_runs(lb, l_lens, ord_c)
+            pb_c = _gather_runs(pb, p_lens, ord_c)
 
-        # ---- per-group ascending-docid repair (pid-hash interleaving) ------
-        if d_all.size > 1:
-            bad = (np.diff(d_all) <= 0) & (np.diff(gid) == 0)
-            if bad.any():
-                bad_g = np.zeros(int(gid_r[-1]) + 1, dtype=bool)
-                bad_g[gid[np.flatnonzero(bad)]] = True
-                bad_g[gid[np.flatnonzero(bad) + 1]] = True
-                member = bad_g[gid]
-                idx = np.flatnonzero(member)
-                sub = idx[np.lexsort((d_all[idx], gid[idx]))]
-                perm = np.arange(d_all.size)
-                perm[idx] = sub
-                p_all = _gather_runs(p_all, plen_all, perm)
-                plen_all = plen_all[perm]
-                d_all, t_all, l_all = d_all[perm], t_all[perm], l_all[perm]
-                # gid is unchanged by an in-group permutation
+            # chunk-local group ids (a chunk always starts at a group start)
+            newg_c = newg[lo:hi].copy()
+            newg_c[0] = True
+            gid_r = np.cumsum(newg_c) - 1
 
-        if d_all.size == 0:
-            return
+            # ---- decode chunk streams once --------------------------------
+            gaps = varint_decode(db_c.tobytes(), total).astype(np.int64)
+            S = np.cumsum(gaps)
+            rstarts = np.concatenate(([0], np.cumsum(n_c)[:-1]))
+            corr = np.repeat(S[rstarts] - gaps[rstarts], n_c)
+            d_all = S - corr
+            t_all = varint_decode(tb_c.tobytes(), total).astype(np.int64)
+            l_all = varint_decode(lb_c.tobytes(), total).astype(np.int64)
+            p_all = pb_c
+            plen_all = positions_byte_lengths(p_all.tobytes(), t_all)
+            gid = np.repeat(gid_r, n_c)
 
-        # ---- per-group posting spans (groups emptied by the filter drop) ---
-        gnew = np.ones(d_all.size, dtype=bool)
-        gnew[1:] = np.diff(gid) != 0
-        gstarts = np.flatnonzero(gnew)
-        gends = np.concatenate((gstarts[1:], [d_all.size]))
-        g_ids = gid[gstarts]  # original group id of each surviving group
-        # row index of each group's first row (for term/field/salt lookup)
-        g_first_row = np.flatnonzero(newg)[g_ids]
+            # ---- salt filter (vectorized across every salted group) --------
+            salted_c = salted_r[lo:hi]
+            if salted_c.any():
+                salted_p = np.repeat(salted_c, n_c)
+                salt_p = np.repeat(salt_r[lo:hi], n_c)
+                mask = ~salted_p | ((d_all * n_salts) // (max_docid + 1) == salt_p)
+                if not mask.all():
+                    keep = np.flatnonzero(mask)
+                    p_all = _gather_runs(p_all, plen_all, keep)
+                    plen_all = plen_all[keep]
+                    d_all, t_all, l_all = d_all[keep], t_all[keep], l_all[keep]
+                    gid = gid[keep]
 
-        # ---- block structure -------------------------------------------------
-        m = gends - gstarts
-        nblk = (m + block_size - 1) // block_size
-        tot_blk = int(nblk.sum())
-        first_blk = np.concatenate(([0], np.cumsum(nblk)[:-1]))
-        local = np.arange(tot_blk) - np.repeat(first_blk, nblk)
-        bstarts = np.repeat(gstarts, nblk) + local * block_size
-        bends = np.minimum(bstarts + block_size, np.repeat(gends, nblk))
+            # ---- per-group ascending-docid repair (pid-hash interleaving) --
+            if d_all.size > 1:
+                bad = (np.diff(d_all) <= 0) & (np.diff(gid) == 0)
+                if bad.any():
+                    bad_g = np.zeros(int(gid_r[-1]) + 1, dtype=bool)
+                    bad_g[gid[np.flatnonzero(bad)]] = True
+                    bad_g[gid[np.flatnonzero(bad) + 1]] = True
+                    member = bad_g[gid]
+                    idx = np.flatnonzero(member)
+                    sub = idx[np.lexsort((d_all[idx], gid[idx]))]
+                    perm = np.arange(d_all.size)
+                    perm[idx] = sub
+                    p_all = _gather_runs(p_all, plen_all, perm)
+                    plen_all = plen_all[perm]
+                    d_all, t_all, l_all = d_all[perm], t_all[perm], l_all[perm]
+                    # gid is unchanged by an in-group permutation
 
-        # ---- encode streams once, block-absolute docid restarts -------------
-        gaps_out = np.empty(d_all.size, dtype=np.int64)
-        gaps_out[0] = d_all[0]
-        np.subtract(d_all[1:], d_all[:-1], out=gaps_out[1:])
-        gaps_out[bstarts] = d_all[bstarts]
-        d_bytes, d_off = varint_encode_with_offsets(gaps_out.astype(np.uint64))
-        t_bytes, t_off = varint_encode_with_offsets(t_all.astype(np.uint64))
-        l_bytes, l_off = varint_encode_with_offsets(l_all.astype(np.uint64))
-        p_off = np.concatenate(([0], np.cumsum(plen_all)))
+            if d_all.size == 0:
+                continue
 
-        def bin_col(stream: bytes, off: np.ndarray) -> "pa.Array":
-            # consecutive blocks tile the stream: offsets at block starts
-            # plus the final end — zero-copy BinaryArray
-            cut = np.concatenate((off[bstarts], [off[int(bends[-1])]]))
-            if cut[-1] > np.iinfo(np.int32).max:
-                raise ValueError("partition stream exceeds 2GB binary limit")
-            return pa.Array.from_buffers(
-                pa.binary(), tot_blk,
-                [None, pa.py_buffer(cut.astype(np.int32).tobytes()),
-                 pa.py_buffer(stream)],
+            # ---- per-group posting spans (groups emptied by the filter) ----
+            gnew = np.ones(d_all.size, dtype=bool)
+            gnew[1:] = np.diff(gid) != 0
+            gstarts = np.flatnonzero(gnew)
+            gends = np.concatenate((gstarts[1:], [d_all.size]))
+            g_ids = gid[gstarts]  # chunk-local group id of each survivor
+            # chunk row index of each group's first row (term/field/salt)
+            g_first_row = lo + np.flatnonzero(newg_c)[g_ids]
+
+            # ---- block structure -------------------------------------------
+            m = gends - gstarts
+            nblk = (m + block_size - 1) // block_size
+            tot_blk = int(nblk.sum())
+            first_blk = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+            local = np.arange(tot_blk) - np.repeat(first_blk, nblk)
+            bstarts = np.repeat(gstarts, nblk) + local * block_size
+            bends = np.minimum(bstarts + block_size, np.repeat(gends, nblk))
+
+            # ---- encode streams once, block-absolute docid restarts --------
+            gaps_out = np.empty(d_all.size, dtype=np.int64)
+            gaps_out[0] = d_all[0]
+            np.subtract(d_all[1:], d_all[:-1], out=gaps_out[1:])
+            gaps_out[bstarts] = d_all[bstarts]
+            d_bytes, d_off = varint_encode_with_offsets(gaps_out.astype(np.uint64))
+            t_bytes, t_off = varint_encode_with_offsets(t_all.astype(np.uint64))
+            l_bytes, l_off = varint_encode_with_offsets(l_all.astype(np.uint64))
+            p_off = np.concatenate(([0], np.cumsum(plen_all)))
+
+            def bin_col(stream: bytes, off: np.ndarray) -> "pa.Array":
+                # consecutive blocks tile the stream: offsets at block starts
+                # plus the final end — zero-copy BinaryArray
+                cut = np.concatenate((off[bstarts], [off[int(bends[-1])]]))
+                if cut[-1] > np.iinfo(np.int32).max:
+                    raise ValueError("chunk stream exceeds 2GB binary limit")
+                return pa.Array.from_buffers(
+                    pa.binary(), tot_blk,
+                    [None, pa.py_buffer(cut.astype(np.int32).tobytes()),
+                     pa.py_buffer(stream)],
+                )
+
+            max_tf_b = np.maximum.reduceat(t_all, bstarts)
+            min_dl_b = np.minimum.reduceat(l_all, bstarts)
+            out_tbl = pa.Table.from_arrays(
+                [
+                    pa.array(np.repeat(term_r[g_first_row], nblk), type=pa.string()),
+                    pa.array(np.repeat(field_r[g_first_row], nblk), type=pa.string()),
+                    pa.array(np.repeat(salt_r[g_first_row], nblk).astype(np.int32)),
+                    pa.array(local.astype(np.int32)),
+                    pa.array((bends - bstarts).astype(np.int32)),
+                    pa.array(d_all[bstarts]),
+                    pa.array(d_all[bends - 1]),
+                    pa.array(max_tf_b.astype(np.int32)),
+                    pa.array(min_dl_b),
+                    bin_col(d_bytes, d_off),
+                    bin_col(t_bytes, t_off),
+                    bin_col(l_bytes, l_off),
+                    bin_col(bytes(p_all.tobytes()), p_off),
+                ],
+                schema=_packed_arrow_schema(),
             )
-
-        max_tf_b = np.maximum.reduceat(t_all, bstarts)
-        min_dl_b = np.minimum.reduceat(l_all, bstarts)
-        out_tbl = pa.Table.from_arrays(
-            [
-                pa.array(np.repeat(term_r[g_first_row], nblk), type=pa.string()),
-                pa.array(np.repeat(field_r[g_first_row], nblk), type=pa.string()),
-                pa.array(np.repeat(salt_r[g_first_row], nblk).astype(np.int32)),
-                pa.array(local.astype(np.int32)),
-                pa.array((bends - bstarts).astype(np.int32)),
-                pa.array(d_all[bstarts]),
-                pa.array(d_all[bends - 1]),
-                pa.array(max_tf_b.astype(np.int32)),
-                pa.array(min_dl_b),
-                bin_col(d_bytes, d_off),
-                bin_col(t_bytes, t_off),
-                bin_col(l_bytes, l_off),
-                bin_col(bytes(p_all.tobytes()), p_off),
-            ],
-            schema=_packed_arrow_schema(),
-        )
-        yield from out_tbl.to_batches(max_chunksize=4096)
+            yield from out_tbl.to_batches(max_chunksize=4096)
 
     return merge_partition
 
@@ -1514,10 +1571,12 @@ def build_persistent_index(
     block_size = cfg.block_size
 
     # ---- per-bucket packed postings build (segment MERGE phase) ---------
-    merge_partition = (
-        make_merge_partition_vec if cfg.merge_kernel == "vec"
-        else make_merge_partition
-    )(n_salts, max_docid, block_size)
+    if cfg.merge_kernel == "vec":
+        merge_partition = make_merge_partition_vec(
+            n_salts, max_docid, block_size, cfg.merge_chunk_postings
+        )
+    else:
+        merge_partition = make_merge_partition(n_salts, max_docid, block_size)
     # merge parallelism: partitions hold complete (term,field,salt) groups
     # (repartition hashes the full group key); sized to ~2 waves per core
     # locally — at cluster scale set it to segment-bytes / ~128MB
@@ -1628,7 +1687,8 @@ def build_persistent_index(
         os.makedirs(pk_dir, exist_ok=True)
         part_df = joined.repartition(merge_parts, "term", "field", "salt")
         wrows = _packed_writer_rows(
-            part_df, n_salts, max_docid, block_size, pk_dir, cfg.merge_kernel
+            part_df, n_salts, max_docid, block_size, pk_dir, cfg.merge_kernel,
+            cfg.merge_chunk_postings,
         ).collect()
         _write_side_manifest(
             pk_dir,

@@ -82,10 +82,17 @@ def as_table(rows):
 
 
 def run_both(rows, n_salts=4, max_docid=1000, block_size=8):
+    """Reference kernel, whole-partition vec kernel, and the chunked vec
+    kernel with a tiny chunk_postings (7 — forces a cut at nearly every
+    group boundary) must all emit identical rows."""
     tbl = as_table(rows)
+    kernels = [
+        make_merge_partition(n_salts, max_docid, block_size),
+        make_merge_partition_vec(n_salts, max_docid, block_size),
+        make_merge_partition_vec(n_salts, max_docid, block_size, 7),
+    ]
     outs = []
-    for make in (make_merge_partition, make_merge_partition_vec):
-        k = make(n_salts, max_docid, block_size)
+    for k in kernels:
         bs = list(k(tbl.to_batches(max_chunksize=3)))
         outs.append(
             pa.Table.from_batches(bs) if bs else None
@@ -107,19 +114,20 @@ def rand_group(rng, term, field, lo, hi, n_rows, salt=0, salted=False):
 
 
 def assert_identical(rows, **kw):
-    old, new = run_both(rows, **kw)
-    if old is None or old.num_rows == 0:
-        assert new is None or new.num_rows == 0
-        return
-    assert new is not None
-    assert old.num_rows == new.num_rows
-    for c in old.column_names:
-        assert old.column(c).equals(new.column(c)), f"column {c} differs"
+    old, *news = run_both(rows, **kw)
+    for new in news:
+        if old is None or old.num_rows == 0:
+            assert new is None or new.num_rows == 0
+            continue
+        assert new is not None
+        assert old.num_rows == new.num_rows
+        for c in old.column_names:
+            assert old.column(c).equals(new.column(c)), f"column {c} differs"
 
 
 def test_empty_partition():
-    old, new = run_both([])
-    assert old is None and new is None
+    outs = run_both([])
+    assert all(o is None for o in outs)
 
 
 def test_single_group_multi_row():
