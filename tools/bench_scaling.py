@@ -181,6 +181,8 @@ def main() -> None:
             pin_note += f" (codec={kv.split('=', 1)[1]})"
     if os.environ.get("SPARK_GRAFT_SEGMENT_CODEC"):
         pin_note += f" (seg={os.environ['SPARK_GRAFT_SEGMENT_CODEC']})"
+    if os.environ.get("SPARK_GRAFT_MERGE_CHUNK"):
+        pin_note += f" (chunk={os.environ['SPARK_GRAFT_MERGE_CHUNK']})"
     if args.executor_cores:
         ec = args.executor_cores
         lo_lbl = f"{args.low // ec}x{ec}-core executors"

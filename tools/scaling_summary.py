@@ -60,6 +60,9 @@ def level_tags(label: str) -> str:
     s = re.search(r"\(seg=(\w+)\)", label)
     if s:
         tags.append(f"seg={s.group(1)}")
+    ck = re.search(r"\(chunk=(\d+)\)", label)
+    if ck:
+        tags.append(f"chunk={ck.group(1)}")
     mp = re.search(r"\(mp(\d+)\)", label)
     if mp:
         tags.append(f"mp{mp.group(1)}")
