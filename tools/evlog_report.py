@@ -28,21 +28,41 @@ from collections import defaultdict
 def newest_app(path: str) -> str:
     if os.path.isfile(path):
         return path
+    # Rolling event-log v2 directories hold events_N_<app>[.codec] plus an
+    # empty appstatus marker; prefer the events file.
+    names = [f for f in os.listdir(path) if not f.startswith(".")]
+    events = [f for f in names if f.startswith("events_")]
+    if events:
+        return os.path.join(path, max(events, key=lambda f: os.path.getmtime(os.path.join(path, f))))
     cands = [
         os.path.join(path, f)
-        for f in os.listdir(path)
-        if not f.startswith(".") and not f.endswith(".inprogress.crc")
+        for f in names
+        if not f.endswith(".inprogress.crc")
     ]
     if not cands:
         sys.exit(f"no event logs under {path}")
-    return max(cands, key=os.path.getmtime)
+    newest = max(cands, key=os.path.getmtime)
+    return newest_app(newest) if os.path.isdir(newest) else newest
+
+
+def open_log(path: str):
+    """Open a (possibly zstd-compressed) event log as a text line iterator."""
+    if path.endswith((".zstd", ".zst")):
+        import io
+        import subprocess
+
+        zstd = subprocess.run(
+            ["zstd", "-dc", path], capture_output=True, check=True
+        )
+        return io.StringIO(zstd.stdout.decode())
+    return open(path)
 
 
 def load(path: str):
     stages: dict[int, dict] = {}
     tasks = defaultdict(list)
     execs: dict[str, dict] = {}
-    with open(path) as f:
+    with open_log(path) as f:
         for line in f:
             try:
                 ev = json.loads(line)
