@@ -181,8 +181,13 @@ def main() -> None:
             pin_note += f" (codec={kv.split('=', 1)[1]})"
     if os.environ.get("SPARK_GRAFT_SEGMENT_CODEC"):
         pin_note += f" (seg={os.environ['SPARK_GRAFT_SEGMENT_CODEC']})"
-    if os.environ.get("SPARK_GRAFT_MERGE_CHUNK"):
-        pin_note += f" (chunk={os.environ['SPARK_GRAFT_MERGE_CHUNK']})"
+    # Always tag the effective merge-chunk size: the chunked kernel became the
+    # default (BuildConfig.merge_chunk_postings), so an untagged row would be
+    # ambiguous between the whole-partition and chunked eras in scaling_summary.
+    from search_engine_spark.index.persist import BuildConfig as _BC
+
+    _chunk = _BC.__dataclass_fields__["merge_chunk_postings"].default_factory()
+    pin_note += f" (chunk={_chunk})"
     if args.executor_cores:
         ec = args.executor_cores
         lo_lbl = f"{args.low // ec}x{ec}-core executors"
