@@ -184,9 +184,19 @@ def main() -> None:
     # Always tag the effective merge-chunk size: the chunked kernel became the
     # default (BuildConfig.merge_chunk_postings), so an untagged row would be
     # ambiguous between the whole-partition and chunked eras in scaling_summary.
-    from search_engine_spark.index.persist import BuildConfig as _BC
+    # The script runs as `python tools/bench_scaling.py`, so the repo root must
+    # be added to sys.path before the package import; never let a tagging
+    # failure lose the measured row.
+    try:
+        import sys
 
-    _chunk = _BC.__dataclass_fields__["merge_chunk_postings"].default_factory()
+        if REPO not in sys.path:
+            sys.path.insert(0, REPO)
+        from search_engine_spark.index.persist import BuildConfig as _BC
+
+        _chunk = _BC.__dataclass_fields__["merge_chunk_postings"].default_factory()
+    except Exception:
+        _chunk = os.environ.get("SPARK_GRAFT_MERGE_CHUNK", "unknown")
     pin_note += f" (chunk={_chunk})"
     if args.executor_cores:
         ec = args.executor_cores
