@@ -10,6 +10,7 @@ BASELINE.md, and the memory notes:
 
     python tools/scaling_summary.py            # all segments
     python tools/scaling_summary.py --json     # machine-readable
+    python tools/scaling_summary.py --markdown --min-n 3   # pasteable table
 
 A row is parsed from the markdown line bench_scaling.py / bench_query_scaling.py
 append (`| <files> | <lo label> <f/s> (<s>) | <hi label> ... | <x>x | <eff> |`);
@@ -118,11 +119,34 @@ def summarize(rows: list[dict]) -> list[dict]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--markdown",
+        action="store_true",
+        help="emit a markdown table (for the BENCH_SCALING.md summary block)",
+    )
+    ap.add_argument(
+        "--min-n",
+        type=int,
+        default=1,
+        help="markdown mode: only segments with at least this many samples",
+    )
     ap.add_argument("--path", default=os.path.join(REPO, "BENCH_SCALING.md"))
     args = ap.parse_args()
     summary = summarize(parse(args.path))
     if args.json:
         print(json.dumps(summary, indent=1))
+        return
+    if args.markdown:
+        print("| kind | files | segment | n | median | best | samples |")
+        print("|---|---|---|---|---|---|---|")
+        for g in summary:
+            if g["n"] < args.min_n or "superseded" in g["segment"]:
+                continue
+            effs = ", ".join(f"{e:g}" for e in g["effs"])
+            print(
+                f"| {g['kind']} | {g['files']} | {g['segment']} | {g['n']} "
+                f"| {g['median']:.3f} | {g['best']:.3f} | {effs} |"
+            )
         return
     for g in summary:
         print(
