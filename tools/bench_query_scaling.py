@@ -68,7 +68,22 @@ def build_index(files: int, out_dir: str, cores: int) -> None:
         sys.executable, os.path.join(REPO, "jobs", "build_index.py"),
         "--synthetic", str(files), "--out", out_dir, "--cores", str(cores),
     ]
-    subprocess.run(cmd, capture_output=True, text=True, check=True)
+    _run_checked(cmd)
+
+
+def _run_checked(cmd: list[str]) -> subprocess.CompletedProcess:
+    """subprocess.run(check=True) that surfaces the child's stderr tail on
+    failure — a bare CalledProcessError from a captured child is
+    undiagnosable in a nohup chain log (chain-17 lost a query sample to
+    exactly that)."""
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        tail = "\n".join(res.stderr.splitlines()[-30:])
+        print(f"FAILED ({res.returncode}): {' '.join(cmd)}\n--- stderr tail ---\n{tail}",
+              file=sys.stderr)
+        raise subprocess.CalledProcessError(res.returncode, cmd,
+                                            res.stdout, res.stderr)
+    return res
 
 
 def run_level(cores: int, index_dir: str, qfile: str, passes: int,
@@ -82,7 +97,7 @@ def run_level(cores: int, index_dir: str, qfile: str, passes: int,
     ]
     if pin:
         cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
-    res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    res = _run_checked(cmd)
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
