@@ -49,6 +49,7 @@ HEADLINE = [
     "indri_wsum_topk",
     "indri_wsum_mf_topk",
     "field_bm25_topk",
+    "bm25_batch_topk",
     "prf_term_weights",
     "letor_rerank_topk",
     "prospective_match",

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--pruned", action="store_true")
+    ap.add_argument("--batch", action="store_true",
+                    help="answer the WHOLE query file as one Spark job "
+                         "(flat BM25 BOW only): one union postings scan, "
+                         "one shuffle, per-qid top-k — engine/batch.py")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--passes", type=int, default=1,
                     help="run the full query set this many times; per-pass "
@@ -88,7 +92,20 @@ def main() -> None:
     for p_i in range(max(1, args.passes)):
         t0 = time.time()
         by_qid: dict[str, list[str]] = {}
-        if args.concurrency > 1:
+        if args.batch:
+            from search_engine_spark.engine.batch import batch_topk
+
+            rows_by_qid: dict[str, list] = {}
+            res = batch_topk(_engine(), pairs, args.k).collect()
+            for r in res:
+                rows_by_qid.setdefault(r["qid"], []).append(r.asDict())
+            for qid, _ in pairs:
+                rows = sorted(
+                    rows_by_qid.get(qid, []), key=lambda d: d["rank"]
+                )
+                by_qid[qid] = trec_lines(qid, rows)
+            per_q = {"batch": round(time.time() - t0, 3)}
+        elif args.concurrency > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=args.concurrency) as pool:

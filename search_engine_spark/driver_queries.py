@@ -368,6 +368,67 @@ _register(
 )
 
 
+# -- batched multi-query execution (engine/batch.py) --------------------------
+# the whole query set as ONE job: one union postings scan, one broadcast
+# query-leaf join, one (qid, docid) shuffle, salted two-stage per-qid top-k.
+# The reference answers a query file one query at a time
+# (hw5/QryEval/QryEval.java:670-709); batching is the cluster-scale analog.
+
+BATCH_QUERY_SET = [
+    ("q1", " ".join(FLAGSHIP_TERMS)),
+    ("q2", "big data fast scan"),
+    ("q3", "merge join dup"),
+    ("q4", "dup dup table"),  # duplicate-term multiplicity (#SUM(a a b))
+]
+
+
+def _q_bm25_batch_topk(spark, sf_dir):
+    from search_engine_spark.engine.batch import batch_topk
+
+    eng = _engine(spark, sf_dir, BM25)
+    return batch_topk(eng, BATCH_QUERY_SET, 100).select(
+        "qid", "rank", F.col("docid").cast("long").alias("docid"), "score"
+    )
+
+
+def _batch_sql() -> str:
+    from collections import Counter
+
+    vals, terms = [], set()
+    for qid, text in BATCH_QUERY_SET:
+        for t, n in sorted(Counter(text.split()).items()):
+            vals.append(f"('{qid}', '{t}', {float(n)!r})")
+            terms.add(t)
+    return (
+        SQL_PRELUDE
+        + f""",
+qterms(qid, term, mult) AS (VALUES {", ".join(vals)}),
+bscores AS (
+  SELECT t.doc_id, t.term,
+         CAST(CAST(
+           greatest(0.0, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           * (t.tf / (t.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))
+         AS REAL) AS DOUBLE) AS score
+  FROM tfs t
+  JOIN dfstats d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN consts c
+  WHERE t.term IN {_sql_in(sorted(terms))}
+),
+agg AS (SELECT q.qid, s.doc_id, sum(s.score * q.mult) AS score
+        FROM bscores s JOIN qterms q ON q.term = s.term GROUP BY 1, 2),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id AS docid, score
+  FROM agg)
+SELECT qid, rank, docid, score FROM ranked WHERE rank <= 100"""
+    )
+
+
+_register("bm25_batch_topk", _q_bm25_batch_topk, _batch_sql())
+
+
 # -- P1: field-qualified retrieval (term.field) -------------------------------
 # the reference's multi-field reality (hw1/QryEval/mengyuy.qry queries
 # body/title/url/inlink slots; QryEval.java qualifies terms as term.field):

@@ -1,0 +1,152 @@
+"""Batched multi-query execution: a whole query FILE as ONE Spark job.
+
+The reference's outermost loop answers a query file one query at a time
+(hw5/QryEval/QryEval.java:670-709) — fine for one JVM, but on a cluster each
+query pays a full scan + shuffle + job-scheduling round trip. A TREC run
+(and every offline-eval / training-candidate-generation workload at 100 TB)
+is a BATCH: all queries are known up front, so the engine can amortize one
+postings scan and one shuffle across the entire set.
+
+Plan shape (flat BM25 ``#SUM`` bag-of-words queries, the north-rule
+headline):
+
+1. ONE ``postings_for`` scan over the union of every query's (term, field)
+   leaves — term predicates pushed to the packed parquet exactly like the
+   single-query flat path (PLANS.md §1), so the scan cost tracks the union
+   of posting lists, not |queries| x index.
+2. The per-posting BM25 score as the same codegen'd float32-cast expression
+   the single-query path uses (compiler._leaf_score_col — bit-identity is
+   inherited, not re-derived).
+3. A broadcast join against the tiny (qid, term, field, mult) query-leaf
+   table fans each posting row out to the queries that contain its term —
+   map-side, no shuffle; ``mult`` carries duplicate-term multiplicity
+   (#SUM(a a b) scores `a` twice, QryopSlSum.java:55-61).
+4. ``groupBy(qid, docid).sum`` — THE one shuffle, with map-side partial
+   aggregation, keyed by (qid, docid) so hot docids of different queries
+   spread across reducers.
+5. Per-qid top-k in two stages so no single task ever sees one query's
+   full candidate set: a salted partial cut (window over (qid, salt),
+   ``rank() <= k`` — rank(), not row_number(), keeps score ties at the
+   boundary, whose order legitimately depends on ext ids we haven't
+   resolved yet), then ext-id resolution for the <= |Q|*S*(k+ties)
+   survivors only (the SURVIVORS side broadcasts — never the doc_ids
+   dimension, which is 4.4 TB at 10^10 docs), then the final
+   (desc score, asc ext_docid) row_number cut per qid — the W1 tie-break
+   contract (hw5/QryEval/ScoreList.java:65-86).
+
+Per-query results are bitwise-identical to ``Engine.search`` on the same
+index (tests/test_batch.py asserts it query-by-query, both backends).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import BM25, TOP_K
+from search_engine_spark.engine.compiler import _leaf_score_col
+from search_engine_spark.engine.runner import Engine
+
+# salt fan-out of the partial top-k stage: bounds the per-task row count of
+# the first window at ~|matching docs| / SALTS for the hottest query
+_SALT_BUCKETS = 32
+
+
+def batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
+    """[(qid, text)] -> (qid, docid, score) for flat BM25 BOW queries.
+
+    One scan + one shuffle for the whole set; see module docstring.
+    """
+    if eng.model.name != BM25:
+        raise ValueError("batch execution covers flat BM25 #SUM queries")
+    fld = eng.default_field
+    leaves: list[tuple[str, str, str, float]] = []  # qid, term, field, mult
+    for qid, text in queries:
+        if "#" in text:
+            raise ValueError(f"query {qid!r} is structured — batch path is flat BOW")
+        toks = eng.tokenizer.tokenize(text)
+        for t, n in sorted(Counter(toks).items()):
+            leaves.append((qid, t, fld, float(n)))
+    if not leaves:
+        spark = eng.index.doc_ids.sparkSession
+        return spark.createDataFrame([], "qid string, docid long, score double")
+
+    pairs = sorted({(t, f) for _, t, f, _ in leaves})
+    fields = {f for _, f in pairs}
+    scan = eng.ctx.index.postings_for(pairs)
+    scored = scan.select(
+        "term", "field", "docid",
+        _leaf_score_col(eng.ctx, fields).alias("score"),
+    )
+    spark = scan.sparkSession
+    qleaf = spark.createDataFrame(
+        leaves, "qid string, term string, field string, mult double"
+    )
+    return (
+        scored.join(F.broadcast(qleaf), ["term", "field"])
+        .select("qid", "docid", (F.col("score") * F.col("mult")).alias("score"))
+        .groupBy("qid", "docid")
+        .agg(F.sum("score").alias("score"))
+    )
+
+
+def batch_topk(
+    eng: Engine, queries: list[tuple[str, str]], k: int = TOP_K,
+    salt_buckets: int = _SALT_BUCKETS,
+) -> DataFrame:
+    """[(qid, text)] -> (qid, rank, docid, ext_docid, score), top-k per qid.
+
+    Rank-identical to per-query ``Engine.search`` (same score expression,
+    same desc-score/asc-ext-id tie-break); queries with no matching term
+    simply have no rows (the TREC dummy row is the sink's job,
+    topk.trec_lines).
+    """
+    scores = batch_scores(eng, queries)
+    # stage 1 — salted partial cut: rank() keeps boundary ties (their final
+    # order needs ext ids), every (qid, salt) group cuts to <= k + ties
+    salt = F.pmod(F.xxhash64(F.col("docid")), F.lit(salt_buckets))
+    w_part = Window.partitionBy("qid", "salt").orderBy(F.desc("score"))
+    survivors = (
+        scores.withColumn("salt", salt)
+        .withColumn("_r", F.rank().over(w_part))
+        .where(F.col("_r") <= k)
+        .drop("salt", "_r")
+    )
+    # stage 2 — resolve ext ids for the <= |Q|*S*(k+ties) survivors, with the
+    # same size gate as topk.rank_topk: under the gate the doc_ids dimension
+    # broadcasts whole; past it (4.4 TB at 10^10 docs) the survivor docids
+    # collect into an IN-list pushed to the docid-sorted doc_ids parquet
+    # (row-group pruning — kilobytes read), falling back to a distributed
+    # join on pathological tie plateaus
+    import os as _os
+
+    from search_engine_spark.engine import topk as _topk
+
+    gate = int(
+        _os.environ.get(_topk._BROADCAST_MAX_ENV, _topk._BROADCAST_MAX_DEFAULT)
+    )
+    n_docs = eng.index.corpus.n_docs
+    dim = eng.index.doc_ids
+    if n_docs > gate:
+        cap = max(10 * k * max(1, len(queries)), _topk._TIE_FALLBACK)
+        ids = [
+            r["docid"]
+            for r in survivors.select("docid").distinct().limit(cap + 1).collect()
+        ]
+        if len(ids) <= cap:
+            dim = dim.where(F.col("docid").isin(ids))
+            with_ext = survivors.join(F.broadcast(dim), "docid")
+        else:  # tie-plateau fallback: let AQE pick the join
+            with_ext = survivors.join(dim, "docid")
+    else:
+        with_ext = survivors.join(F.broadcast(dim), "docid")
+    w_final = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("ext_docid")
+    )
+    return (
+        with_ext.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "docid", "ext_docid", "score")
+    )

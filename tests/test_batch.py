@@ -1,0 +1,78 @@
+"""Batched multi-query execution (engine/batch.py): the whole query set in
+one job must be bitwise-identical, query by query, to per-query
+``Engine.search`` — same scores (float32-cast per-term, double sum), same
+desc-score/asc-ext-id tie-break, same top-k cut."""
+
+import pytest
+
+from search_engine_spark.config import BM25, INDRI, ModelConfig
+from search_engine_spark.engine.batch import batch_topk
+from search_engine_spark.engine.runner import Engine
+from search_engine_spark.tokenize import CODE_TOKENIZER
+
+K = 25
+
+BATCH = [
+    ("q1", "lock free queue"),
+    ("q2", "parse_init token_next index_init"),
+    ("q3", "ring buffer slot"),
+    ("q4", "lock lock queue"),        # duplicate-term multiplicity
+    ("q5", "rare_alpha lock"),        # df=1 idf edge
+    ("q6", "zzz_not_in_vocab_zzz"),   # no match -> no rows for this qid
+]
+
+
+def _eng(code_index):
+    return Engine(code_index, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
+
+
+def _by_qid(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], r["ext_docid"], r["score"])
+        )
+    for rows in out.values():
+        rows.sort()
+    return out
+
+
+def test_batch_matches_per_query(code_index):
+    eng = _eng(code_index)
+    got = _by_qid(batch_topk(eng, BATCH, K))
+    assert "q6" not in got  # no-match query contributes no rows
+    for qid, text in BATCH:
+        want = [
+            (r["rank"], r["docid"], r["ext_docid"], r["score"])
+            for r in eng.search(text, K).collect()
+        ]
+        assert got.get(qid, []) == want, f"{qid} diverges from Engine.search"
+
+
+def test_batch_scale_path_identity(code_index, monkeypatch):
+    """Force the past-the-gate ext-id resolution (IN-list pushdown branch)
+    and assert the result is unchanged."""
+    monkeypatch.setenv("SPARK_GRAFT_DOCIDS_BROADCAST_MAX", "1")
+    eng = _eng(code_index)
+    got = _by_qid(batch_topk(eng, BATCH[:3], K))
+    monkeypatch.delenv("SPARK_GRAFT_DOCIDS_BROADCAST_MAX")
+    want = _by_qid(batch_topk(_eng(code_index), BATCH[:3], K))
+    assert got == want
+
+
+def test_batch_salt_invariance(code_index):
+    """The salted partial cut is an implementation detail: any fan-out gives
+    the same result (boundary ties survive stage 1 via rank())."""
+    eng = _eng(code_index)
+    a = _by_qid(batch_topk(eng, BATCH[:4], K, salt_buckets=1))
+    b = _by_qid(batch_topk(eng, BATCH[:4], K, salt_buckets=64))
+    assert a == b
+
+
+def test_batch_rejects_structured_and_non_bm25(code_index):
+    eng = _eng(code_index)
+    with pytest.raises(ValueError, match="structured"):
+        batch_topk(eng, [("q1", "#AND(lock queue)")], K)
+    ind = Engine(code_index, ModelConfig(name=INDRI), tokenizer=CODE_TOKENIZER)
+    with pytest.raises(ValueError, match="BM25"):
+        batch_topk(ind, [("q1", "lock queue")], K)
