@@ -197,7 +197,9 @@ def distributed_corpus_df(
     return rng_df.mapInPandas(gen, CODE_DOC_SCHEMA)
 
 
-def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
+def with_docids(
+    docs: DataFrame, partitions: int | None = None, base: int = 0
+) -> DataFrame:
     """Assign the dense internal docid + the external id string.
 
     ext id = ``repo:path@commit`` (SURVEY.md §1.1); docid = dense row number
@@ -242,9 +244,11 @@ def with_docids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     # shuffle, no window, and no extra JVM<->Python Arrow round-trip of the
     # corpus (an earlier mapInArrow assigner doubled the IPC volume of every
     # downstream pass)
+    # `base` shifts the whole range for incremental appends (index/append.py):
+    # an appended batch over a base of N docs gets docids N+1..N+Δ
     local = F.monotonically_increasing_id() % F.lit(1 << 33)
     out = with_off.select(
-        (F.col("_off") + local + 1).cast("long").alias("docid"),
+        (F.lit(int(base)) + F.col("_off") + local + 1).cast("long").alias("docid"),
         F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
                     F.lit("@"), F.col("commit")).alias("ext_docid"),
         "repo", "path", "commit", "lang", "content",

@@ -429,6 +429,70 @@ SELECT qid, rank, docid, score FROM ranked WHERE rank <= 100"""
 _register("bm25_batch_topk", _q_bm25_batch_topk, _batch_sql())
 
 
+# -- incremental append (index/append.py) -------------------------------------
+# base index over the first 80% of the corpus + an O(delta) append of the
+# rest must equal a one-shot build over everything. The oracle is therefore
+# the SAME full-corpus SQL as bm25_sum_topk — a bitwise pass proves the
+# grafted index is query-equivalent to a from-scratch build.
+
+
+def _q_bm25_appended_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from search_engine_spark.engine.topk import rank_topk
+    from search_engine_spark.index.append import append_to_index
+    from search_engine_spark.index.persist import (
+        BuildConfig, PackedIndex, build_persistent_index,
+    )
+
+    key = ("appended", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        # internal docids are 1-based dense (the builder/append contract);
+        # the sf table's 0-based doc_id stays the external id
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            (F.col("doc_id").cast("long") + 1).alias("docid"),
+            F.col("doc_id").cast("string").alias("ext_docid"),
+            "text", "lang", "source",
+        )
+        n = docs.count()
+        split = max(1, (n * 4) // 5)
+        out = _os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_appended_{_os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = BuildConfig(
+            out_dir=out, fields=DOC_FIELDS, tokenizer=WHITESPACE_TOKENIZER,
+            n_buckets=8, merge_partitions=8,
+        )
+        build_persistent_index(
+            spark, docs.where(F.col("docid") <= split), cfg, resume=False
+        )
+        append_to_index(spark, docs.where(F.col("docid") > split), cfg)
+        pidx = PackedIndex(spark, out)
+        # numeric tie-break, like the packed loader above
+        pidx.doc_ids = pidx.doc_ids.select(
+            "docid", F.col("ext_docid").cast("long").alias("ext_docid")
+        )
+        _INDEX_CACHE[key] = pidx
+    eng = Engine(_INDEX_CACHE[key], ModelConfig(name=BM25))
+    return eng.search(" ".join(FLAGSHIP_TERMS), 100).select(
+        "rank", F.col("ext_docid").cast("long").alias("docid"), "score"
+    )
+
+
+_register(
+    "bm25_appended_topk",
+    _q_bm25_appended_topk,
+    SQL_PRELUDE
+    + ","
+    + _bm25_scores_cte(FLAGSHIP_TERMS)
+    + ",\nagg AS (SELECT doc_id, sum(score) AS score FROM scores GROUP BY 1)"
+    + _topk_sql(100),
+)
+
+
 # -- P1: field-qualified retrieval (term.field) -------------------------------
 # the reference's multi-field reality (hw1/QryEval/mengyuy.qry queries
 # body/title/url/inlink slots; QryEval.java qualifies terms as term.field):
