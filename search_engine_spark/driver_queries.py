@@ -268,6 +268,49 @@ def load_packed_documents_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+# every doc_id ≡ DELETE_REM (mod DELETE_MOD) is tombstoned in the deleted
+# variant of the packed index — a predicate DuckDB can mirror exactly
+DELETE_MOD, DELETE_REM = 10, 7
+
+
+def load_deleted_documents_index(spark: SparkSession, sf_dir: str):
+    """Copy of the packed documents index with doc_id % 10 == 7 tombstoned
+    (index/deletes.py; SURVEY.md §2.2 P3 — the liveDocs walk of
+    hw5/QryEval/InvList.java:84-86). Deletes mutate the manifest, so the
+    shared packed cache is never touched: the segments are copied aside and
+    tombstoned there."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.index.deletes import delete_docs
+    from search_engine_spark.index.persist import PackedIndex
+
+    key = ("deleted", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        load_packed_documents_index(spark, sf_dir)  # on-disk segments exist
+        src = _os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_packed_{_os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        out = src + "_deleted"
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, out)
+        packed = _INDEX_CACHE[("packed", id(spark), sf_dir)]
+        victims = [
+            str(r["ext_docid"])
+            for r in packed.doc_ids.where(
+                F.col("ext_docid") % DELETE_MOD == DELETE_REM
+            ).collect()
+        ]
+        delete_docs(spark, out, ext_docids=victims)
+        pidx = PackedIndex(spark, out)
+        pidx.doc_ids = pidx.doc_ids.select(
+            "docid", F.col("ext_docid").cast("long").alias("ext_docid")
+        )
+        _INDEX_CACHE[key] = pidx
+    return _INDEX_CACHE[key]
+
+
 def _engine(spark: SparkSession, sf_dir: str, model: str) -> Engine:
     return Engine(load_documents_index(spark, sf_dir), ModelConfig(name=model))
 
@@ -1109,6 +1152,71 @@ _register(
     "doc_stats_all",
     _q_doc_stats,
     SQL_PRELUDE + "\nSELECT doc_id AS docid, doclen FROM dl",
+)
+
+
+# -- live-docs deletes (SURVEY.md §2.2 P3; index/deletes.py) -----------------
+# Lucene contract the reference inherits: deleted docs vanish from every
+# scan and N (QryopSlScore.java:118, numDocs) goes live, while df/ctf/avgdl
+# stay stale until compaction. The oracle mirrors exactly that: dfstats/avgdl
+# over the FULL corpus, candidate docs and N restricted to the live set.
+
+
+def _q_deleted_doc_stats(spark, sf_dir):
+    idx = load_deleted_documents_index(spark, sf_dir)
+    return idx.doc_stats.where(F.col("field") == "body").select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col("doclen").cast("long").alias("doclen"),
+    )
+
+
+_register(
+    "deleted_doc_stats",
+    _q_deleted_doc_stats,
+    SQL_PRELUDE
+    + f"\nSELECT doc_id AS docid, doclen FROM dl"
+    f" WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}",
+)
+
+
+def _bm25_scores_cte_deleted(terms: list[str]) -> str:
+    """BM25 scores CTE under tombstones: stale df/avgdl, live N, live docs."""
+    return f"""
+lconsts AS (
+  SELECT (SELECT count(*) FROM documents
+          WHERE doc_id % {DELETE_MOD} <> {DELETE_REM})::DOUBLE AS n_docs,
+         (SELECT avgdl FROM consts) AS avgdl
+),
+scores AS (
+  SELECT t.doc_id,
+         CAST(CAST(
+           greatest(0.0, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           * (t.tf / (t.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))
+         AS REAL) AS DOUBLE) AS score
+  FROM tfs t
+  JOIN dfstats d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN lconsts c
+  WHERE t.term IN {_sql_in(terms)}
+    AND t.doc_id % {DELETE_MOD} <> {DELETE_REM}
+)"""
+
+
+def _q_bm25_topk_deleted(spark, sf_dir):
+    eng = Engine(
+        load_deleted_documents_index(spark, sf_dir), ModelConfig(name=BM25)
+    )
+    return _topk_df(eng, " ".join(FLAGSHIP_TERMS), 100)
+
+
+_register(
+    "bm25_topk_after_delete",
+    _q_bm25_topk_deleted,
+    SQL_PRELUDE
+    + ","
+    + _bm25_scores_cte_deleted(FLAGSHIP_TERMS)
+    + ",\nagg AS (SELECT doc_id, sum(score) AS score FROM scores GROUP BY 1)"
+    + _topk_sql(100),
 )
 
 

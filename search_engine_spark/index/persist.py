@@ -1770,6 +1770,14 @@ class PackedIndex(IndexTables):
         # block size drives the query-side pruning gate (runner._pruned_topk)
         self.block_size = int(man.data["lineage"].get("block_size", BLOCK_SIZE))
         packed, self._bucketed = read_packed(spark, out_dir)
+        # live-docs tombstones (index/deletes.py): corpus.n_docs is the LIVE
+        # count (Lucene numDocs semantics — QryopSlScore.java:118); per-field
+        # sums and df/ctf stay stale until compaction, like Lucene's
+        self.n_deleted = int(man.data["lineage"].get("n_deleted", 0))
+        self.tombstones = None
+        t_dir = os.path.join(out_dir, "tombstones")
+        if self.n_deleted and os.path.isdir(t_dir):
+            self.tombstones = spark.read.parquet(t_dir)
         super().__init__(
             doc_ids=spark.read.parquet(f"{out_dir}/doc_ids"),
             # forward index is not materialized in the segment layout —
@@ -1779,11 +1787,29 @@ class PackedIndex(IndexTables):
             doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
             postings=None,  # packed — use postings_for / term_postings
             term_stats=spark.read.parquet(f"{out_dir}/term_stats"),
-            corpus=CorpusStats(n_docs=st["n_docs"], by_field=st["by_field"]),
+            corpus=CorpusStats(
+                n_docs=st["n_docs"] - self.n_deleted, by_field=st["by_field"]
+            ),
             fields=tuple(sorted({f for f in st["by_field"]})),
             tokenizer_name=man.data["lineage"].get("tokenizer"),
         )
         self.packed = packed
+        if self.tombstones is not None:
+            self.doc_ids = self._live(self.doc_ids)
+            self.doc_stats = self._live(self.doc_stats)
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Drop tombstoned docids (no-op without deletes): a map-side
+        broadcast anti-join while the tombstone set fits the broadcast gate,
+        a distributed left_anti past it."""
+        if self.tombstones is None:
+            return df
+        t = self.tombstones
+        if self.n_deleted <= int(
+            os.environ.get("SPARK_GRAFT_TOMBSTONES_BROADCAST_MAX", 10_000_000)
+        ):
+            t = F.broadcast(t)
+        return df.join(t, "docid", "left_anti")
 
     # -- metadata-only scan (column-pruned: no binary columns read) --------
     def blocks_meta(self, pairs: list[tuple[str, str]]) -> DataFrame:
@@ -1887,7 +1913,7 @@ class PackedIndex(IndexTables):
                         }
                     )
 
-        decoded = scan.mapInPandas(decode_iter, out_schema)
+        decoded = self._live(scan.mapInPandas(decode_iter, out_schema))
         # df/ctf ride in via broadcast join with term_stats (tiny per query)
         st = self.term_stats.where(
             self._stats_cond(pairs)
@@ -1984,7 +2010,7 @@ class PackedIndex(IndexTables):
                         empty["positions"] = pd.Series([], dtype="object")
                     yield pd.DataFrame(empty)
 
-        return scan.mapInPandas(decode_iter, T.StructType(out_fields))
+        return self._live(scan.mapInPandas(decode_iter, T.StructType(out_fields)))
 
 
 def _py_bucket(term: str, n_buckets: int) -> int:
