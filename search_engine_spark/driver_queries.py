@@ -311,6 +311,35 @@ def load_deleted_documents_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def load_compacted_documents_index(spark: SparkSession, sf_dir: str):
+    """The deleted index, compacted (index/compact.py): tombstones purged,
+    df/ctf/avgdl fresh — query-equivalent to a fresh build over the live
+    docs. Own copy so the deleted index keeps its stale-stats contract."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.index.compact import compact_index
+    from search_engine_spark.index.persist import PackedIndex
+
+    key = ("compacted", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        load_deleted_documents_index(spark, sf_dir)  # deleted dir exists
+        base = _os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_packed_{_os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        out = base + "_compacted"
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base + "_deleted", out)
+        compact_index(spark, out)
+        pidx = PackedIndex(spark, out)
+        pidx.doc_ids = pidx.doc_ids.select(
+            "docid", F.col("ext_docid").cast("long").alias("ext_docid")
+        )
+        _INDEX_CACHE[key] = pidx
+    return _INDEX_CACHE[key]
+
+
 def _engine(spark: SparkSession, sf_dir: str, model: str) -> Engine:
     return Engine(load_documents_index(spark, sf_dir), ModelConfig(name=model))
 
@@ -1215,6 +1244,50 @@ _register(
     SQL_PRELUDE
     + ","
     + _bm25_scores_cte_deleted(FLAGSHIP_TERMS)
+    + ",\nagg AS (SELECT doc_id, sum(score) AS score FROM scores GROUP BY 1)"
+    + _topk_sql(100),
+)
+
+
+# -- compaction (index/compact.py): purge tombstones, refresh stats ----------
+# after compaction the index must equal a fresh build over the LIVE docs, so
+# the oracle is the standard prelude restricted to live documents everywhere
+# (df/ctf/avgdl/N all fresh — the stale-stats contract ends at the merge,
+# exactly like a Lucene segment merge)
+
+SQL_PRELUDE_LIVE = SQL_PRELUDE.replace(
+    "FROM documents", f"FROM documents WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}"
+)
+
+
+def _q_compacted_term_stats(spark, sf_dir):
+    idx = load_compacted_documents_index(spark, sf_dir)
+    return idx.term_stats.where(F.col("field") == "body").select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("ctf").cast("long").alias("ctf"),
+    )
+
+
+_register(
+    "compacted_term_stats",
+    _q_compacted_term_stats,
+    SQL_PRELUDE_LIVE + "\nSELECT term, df, ctf FROM dfstats",
+)
+
+
+def _q_bm25_topk_compacted(spark, sf_dir):
+    eng = Engine(
+        load_compacted_documents_index(spark, sf_dir), ModelConfig(name=BM25)
+    )
+    return _topk_df(eng, " ".join(FLAGSHIP_TERMS), 100)
+
+
+_register(
+    "bm25_topk_after_compact",
+    _q_bm25_topk_compacted,
+    SQL_PRELUDE_LIVE
+    + ","
+    + _bm25_scores_cte(FLAGSHIP_TERMS)
     + ",\nagg AS (SELECT doc_id, sum(score) AS score FROM scores GROUP BY 1)"
     + _topk_sql(100),
 )

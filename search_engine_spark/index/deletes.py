@@ -68,6 +68,21 @@ def delete_docs(
     bad = [d for d in ids if d < 1 or d > n_docs]
     if bad:
         raise ValueError(f"docids out of range 1..{n_docs}: {sorted(bad)[:5]}")
+    # membership check against the on-disk doc_ids table: docids purged by a
+    # past compaction (index/compact.py) must not re-enter the tombstone set
+    # — live N is n_docs - n_purged - n_deleted, so a ghost tombstone would
+    # double-count. (Tombstoned-but-unpurged ids are still present on disk,
+    # keeping re-deletes idempotent.)
+    present = {
+        int(r["docid"])
+        for r in spark.read.parquet(f"{out_dir}/doc_ids")
+        .where(F.col("docid").isin([int(d) for d in ids]))
+        .select("docid")
+        .collect()
+    }
+    ghosts = sorted(ids - present)
+    if ghosts:
+        raise ValueError(f"docids not in the index (purged?): {ghosts[:5]}")
 
     t_dir = tombstones_path(out_dir)
     new = spark.createDataFrame([(d,) for d in sorted(ids)], "docid long")

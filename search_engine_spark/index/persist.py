@@ -1774,6 +1774,12 @@ class PackedIndex(IndexTables):
         # count (Lucene numDocs semantics — QryopSlScore.java:118); per-field
         # sums and df/ctf stay stale until compaction, like Lucene's
         self.n_deleted = int(man.data["lineage"].get("n_deleted", 0))
+        # docs physically removed by past compactions (index/compact.py):
+        # corpus_stats.json keeps the build-time docid high-water mark in
+        # n_docs (the append path's base), so live N subtracts BOTH counters
+        # — updated in one atomic manifest write, N is correct on either
+        # side of every compaction commit step
+        self.n_purged = int(man.data["lineage"].get("n_purged", 0))
         self.tombstones = None
         t_dir = os.path.join(out_dir, "tombstones")
         if self.n_deleted and os.path.isdir(t_dir):
@@ -1788,7 +1794,8 @@ class PackedIndex(IndexTables):
             postings=None,  # packed — use postings_for / term_postings
             term_stats=spark.read.parquet(f"{out_dir}/term_stats"),
             corpus=CorpusStats(
-                n_docs=st["n_docs"] - self.n_deleted, by_field=st["by_field"]
+                n_docs=st["n_docs"] - self.n_purged - self.n_deleted,
+                by_field=st["by_field"],
             ),
             fields=tuple(sorted({f for f in st["by_field"]})),
             tokenizer_name=man.data["lineage"].get("tokenizer"),
