@@ -76,7 +76,6 @@ def _rewrite_packed(
 
     def gen(batches):
         ts = ts_b.value
-        n_hit = n_pass = 0
         for pdf in batches:
             outs = []
             for row in pdf.itertuples(index=False):
@@ -84,10 +83,8 @@ def _rewrite_packed(
                 # pass-through, no decode
                 lo = np.searchsorted(ts, row.min_docid)
                 if lo >= ts.size or ts[lo] > row.max_docid:
-                    n_pass += 1
                     outs.append(row._asdict())
                     continue
-                n_hit += 1
                 blk = {
                     "n": row.n, "docids": row.docids, "tfs": row.tfs,
                     "doclens": row.doclens, "positions": row.positions,
@@ -120,9 +117,6 @@ def _rewrite_packed(
                 if outs
                 else pd.DataFrame({c: pd.Series([], dtype="object") for c in cols})
             )
-        # stage counters ride a Spark accumulator-free channel: the swap
-        # recounts from the side manifest, so per-task counts are advisory
-        _ = (n_hit, n_pass)
 
     scan = pidx.packed.select([f.name for f in PACKED_SCHEMA.fields])
     out_df = scan.mapInPandas(gen, PACKED_SCHEMA)
