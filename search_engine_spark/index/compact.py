@@ -55,6 +55,36 @@ from search_engine_spark.index.persist import (
 )
 
 
+INFLIGHT = "compact_inflight.json"
+
+
+def check_not_inflight(out_dir: str) -> None:
+    """Guard against a compaction that crashed mid-commit here. The four
+    table swaps are individually atomic but not jointly; a crash between
+    them leaves a mix of fresh and stale tables that a blind re-run would
+    compound (delta double-subtraction or a stale delta). If the journaled
+    generation already appears in the manifest, the crash happened AFTER
+    the atomic manifest commit — roll forward (drop the consumed tombstone
+    table + journal). Otherwise refuse loudly: restore the index from the
+    previous snapshot or rebuild."""
+    p = os.path.join(out_dir, INFLIGHT)
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        j = json.load(f)
+    man = Manifest(os.path.join(out_dir, "manifest.json"))
+    done = {c["generation"] for c in man.data["lineage"].get("compactions", [])}
+    if j.get("generation") in done:
+        shutil.rmtree(tombstones_path(out_dir), ignore_errors=True)
+        os.remove(p)
+        return
+    raise RuntimeError(
+        f"compaction generation {j.get('generation')} crashed mid-commit "
+        f"in {out_dir} (started {j.get('ts')}); table state may mix "
+        "fresh and stale statistics — restore from snapshot or rebuild"
+    )
+
+
 def _swap_dir(out_dir: str, name: str) -> None:
     cur = os.path.join(out_dir, name)
     new = os.path.join(out_dir, name + ".compact")
@@ -161,10 +191,12 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     No-op (returns ``n_purged=0``) when there are none."""
     man = Manifest(os.path.join(out_dir, "manifest.json"))
     lin = man.data["lineage"]
+    check_not_inflight(out_dir)
     n_del = int(lin.get("n_deleted", 0))
     if n_del == 0:
         return {"n_purged": 0}
     t0 = time.time()
+    gen = len(lin.get("compactions", [])) + 1
 
     # raw (unmasked) view: the delta pass must see the doomed docs
     pidx = PackedIndex(spark, out_dir)
@@ -213,6 +245,12 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     }
 
     # ---- commit ------------------------------------------------------------
+    # journal the commit: individually-atomic swaps, jointly guarded —
+    # a crash inside this section leaves the journal behind and every
+    # subsequent open/compact refuses loudly (check_not_inflight)
+    inflight = os.path.join(out_dir, INFLIGHT)
+    with open(inflight, "w") as f:
+        json.dump({"generation": gen, "ts": time.time()}, f)
     for name in ("packed", "term_stats", "doc_stats", "doc_ids"):
         _swap_dir(out_dir, name)
     with open(f"{out_dir}/corpus_stats.json") as f:
@@ -224,7 +262,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     os.replace(tmp, f"{out_dir}/corpus_stats.json")
 
     entry = {
-        "generation": len(lin.get("compactions", [])) + 1,
+        "generation": gen,
         "n_purged": n_del,
         "blocks_before": blocks_before,
         "blocks_after": blocks_after,
@@ -239,5 +277,6 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         n_purged=int(lin.get("n_purged", 0)) + n_del,
         compactions=lin.get("compactions", []) + [entry],
     )
+    os.remove(inflight)
     shutil.rmtree(tombstones_path(out_dir), ignore_errors=True)
     return entry

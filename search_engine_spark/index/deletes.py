@@ -47,6 +47,9 @@ def delete_docs(
 ) -> dict:
     """Tombstone the given docs (by internal docid and/or external id).
     Idempotent: re-deleting is a no-op. Returns the committed counters."""
+    from search_engine_spark.index.compact import check_not_inflight
+
+    check_not_inflight(out_dir)
     man = Manifest(os.path.join(out_dir, "manifest.json"))
     lin = man.data["lineage"]
     n_docs = int(lin["n_docs"])

@@ -1763,6 +1763,10 @@ class PackedIndex(IndexTables):
     def __init__(self, spark: SparkSession, out_dir: str, cfg: BuildConfig | None = None):
         self.spark = spark
         self.dir = out_dir
+        # refuse (or roll forward) a compaction that crashed mid-commit
+        from search_engine_spark.index.compact import check_not_inflight
+
+        check_not_inflight(out_dir)
         with open(f"{out_dir}/corpus_stats.json") as f:
             st = json.load(f)
         man = Manifest(os.path.join(out_dir, "manifest.json"))

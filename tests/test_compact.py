@@ -216,6 +216,44 @@ def test_lifecycle_delete_append_compact(spark, code_docs, tmp_path):
     assert a == b and a
 
 
+def test_inflight_journal_guard(spark, pristine_dir, victims, tmp_path):
+    """A compaction that crashed mid-commit leaves compact_inflight.json.
+    If the journaled generation never reached the manifest, every open /
+    delete / compact must refuse loudly; if it DID reach the manifest
+    (crash after the atomic commit, before cleanup), opening rolls forward."""
+    import json
+    import os
+
+    from search_engine_spark.index.compact import INFLIGHT
+    from search_engine_spark.index.deletes import tombstones_path
+
+    out = str(tmp_path / "idx_crash")
+    shutil.copytree(pristine_dir, out)
+    delete_docs(spark, out, docids=victims[:1])
+
+    # crash BEFORE manifest commit: generation 1 journaled, not in lineage
+    with open(os.path.join(out, INFLIGHT), "w") as f:
+        json.dump({"generation": 1, "ts": 0.0}, f)
+    with pytest.raises(RuntimeError, match="crashed mid-commit"):
+        PackedIndex(spark, out)
+    with pytest.raises(RuntimeError, match="crashed mid-commit"):
+        delete_docs(spark, out, docids=victims[1:2])
+    with pytest.raises(RuntimeError, match="crashed mid-commit"):
+        compact_index(spark, out)
+
+    # crash AFTER manifest commit: run a real compaction, then re-plant the
+    # journal + a stale tombstone table as the crash would have left them
+    os.remove(os.path.join(out, INFLIGHT))
+    entry = compact_index(spark, out)
+    with open(os.path.join(out, INFLIGHT), "w") as f:
+        json.dump({"generation": entry["generation"], "ts": 0.0}, f)
+    os.makedirs(tombstones_path(out), exist_ok=True)
+    idx = PackedIndex(spark, out)  # rolls forward, no raise
+    assert not os.path.exists(os.path.join(out, INFLIGHT))
+    assert not os.path.exists(tombstones_path(out))
+    assert idx.n_deleted == 0
+
+
 def test_compact_noop_and_post_compact_deletes(spark, compacted):
     idx, _ = compacted
     assert compact_index(spark, idx.dir) == {"n_purged": 0}
