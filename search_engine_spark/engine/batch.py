@@ -130,6 +130,14 @@ def batch_topk(
     n_docs = eng.index.corpus.n_docs
     dim = eng.index.doc_ids
     if n_docs > gate:
+        # past the gate the survivors plan (union postings scan + shuffle +
+        # salted window) would otherwise execute TWICE — once for the
+        # distinct-docid collect below and again for the ext-id join.
+        # localCheckpoint materializes it eagerly (executor storage) and
+        # truncates lineage, so the second traversal reuses the ≤|Q|·S·(k+t)
+        # survivor rows instead of re-running exactly the large-index case
+        # the gate exists for.
+        survivors = survivors.localCheckpoint(eager=True)
         cap = max(10 * k * max(1, len(queries)), _topk._TIE_FALLBACK)
         ids = [
             r["docid"]

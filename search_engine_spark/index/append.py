@@ -80,21 +80,34 @@ def _stage(man: Manifest, g: int, step: str) -> str:
 
 def _move_parts(src_dir: str, dst_dir: str, prefix: str) -> list[str]:
     """Move every parquet part-file from src to dst under deterministic
-    names; idempotent (existing targets are kept, their sources dropped)."""
+    names derived from the SOURCE filename (``{prefix}-{src_name}``), so a
+    resumed move is truly idempotent: after a crash partway through, the
+    remaining sources map to the same targets regardless of which files
+    already moved. (Enumeration-index naming would renumber the survivors
+    from 0, collide with already-moved targets, and drop their rows.)
+    Already-moved targets discovered in dst (source gone) are re-listed so
+    the returned name set is complete on resume."""
     names = sorted(
         n for n in os.listdir(src_dir)
         if n.endswith(".parquet") and not n.startswith("_")
     )
-    moved = []
-    for i, n in enumerate(names):
-        dst = f"{prefix}-{i:05d}.parquet"
+    moved = set()
+    for n in names:
+        dst = f"{prefix}-{n}"
         target = os.path.join(dst_dir, dst)
         if not os.path.exists(target):
             os.replace(os.path.join(src_dir, n), target)
         else:
+            # same source name already moved by a crashed prior attempt —
+            # the rename is the identity map, so the content is in place
             os.remove(os.path.join(src_dir, n))
-        moved.append(dst)
-    return moved
+        moved.add(dst)
+    # resume completeness: targets whose source already moved in a prior
+    # crashed attempt are part of this generation's file set too
+    for n in os.listdir(dst_dir):
+        if n.startswith(f"{prefix}-") and n.endswith(".parquet"):
+            moved.add(n)
+    return sorted(moved)
 
 
 def _next_generation(man: Manifest) -> int:
@@ -189,6 +202,8 @@ def append_to_index(
     if not man.stage_done(_stage(man, g, "graft_docs")):
         for d in ("doc_ids", "doc_stats"):
             _move_parts(f"{staging}/{d}", f"{out}/{d}", f"append{g}-{d}")
+            if fail_after_step == f"moved_{d}":
+                raise RuntimeError(f"injected failure after step moved_{d}")
         man.mark_stage(_stage(man, g, "graft_docs"))
     if fail_after_step == "graft_docs":
         raise RuntimeError("injected failure after step graft_docs")
@@ -251,27 +266,49 @@ def append_to_index(
         raise RuntimeError("injected failure after step graft_packed")
 
     # ---- step 4: merged term_stats, swapped in by rename ------------------
+    # Crash-safe state machine: the OLD table is renamed aside (never
+    # rmtree'd) before the merged table swaps in, so "swap already done" is
+    # detectable on resume — old present + tmp absent can ONLY mean the
+    # merge ran and swapped but the stage mark didn't land. Without the
+    # rename, that crash window is indistinguishable from "not yet merged"
+    # and a resume would re-merge against the already-merged table, adding
+    # the delta's df/ctf a second time.
     ts_dir = f"{out}/term_stats"
     tmp_dir = f"{out}/term_stats-append{g}.tmp"
+    old_dir = f"{out}/term_stats-append{g}.old"
     if not man.stage_done(_stage(man, g, "graft_term_stats")):
-        if not (os.path.exists(tmp_dir) and not os.path.exists(ts_dir)):
-            # df/ctf are additive across generations; bucket is a pure
-            # function of the term, F.max keeps it through the re-aggregate
-            merged = (
-                spark.read.parquet(ts_dir)
-                .unionByName(spark.read.parquet(f"{staging}/term_stats"))
-                .groupBy("term", "field")
-                .agg(
-                    F.sum("df").cast("long").alias("df"),
-                    F.sum("ctf").cast("long").alias("ctf"),
-                    F.max("bucket").alias("bucket"),
+        if os.path.exists(old_dir) and not os.path.exists(tmp_dir):
+            pass  # swap completed before a crash: ts_dir IS the merged table
+        else:
+            if not os.path.exists(os.path.join(tmp_dir, "_SUCCESS")):
+                # absent or partially-written tmp (no _SUCCESS): (re)merge.
+                # df/ctf are additive across generations; bucket is a pure
+                # function of the term, F.max keeps it through re-aggregation
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                merged = (
+                    spark.read.parquet(ts_dir)
+                    .unionByName(spark.read.parquet(f"{staging}/term_stats"))
+                    .groupBy("term", "field")
+                    .agg(
+                        F.sum("df").cast("long").alias("df"),
+                        F.sum("ctf").cast("long").alias("ctf"),
+                        F.max("bucket").alias("bucket"),
+                    )
                 )
-            )
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            merged.write.parquet(tmp_dir)
-            shutil.rmtree(ts_dir)
-        os.replace(tmp_dir, ts_dir)
+                merged.write.parquet(tmp_dir)
+            if fail_after_step == "ts_merged":
+                raise RuntimeError("injected failure after step ts_merged")
+            if os.path.exists(ts_dir):
+                shutil.rmtree(old_dir, ignore_errors=True)
+                os.replace(ts_dir, old_dir)
+            if fail_after_step == "ts_renamed":
+                raise RuntimeError("injected failure after step ts_renamed")
+            os.replace(tmp_dir, ts_dir)
+            if fail_after_step == "ts_swapped":
+                raise RuntimeError("injected failure after step ts_swapped")
         man.mark_stage(_stage(man, g, "graft_term_stats"))
+    # only after the stage mark is durable is the old table disposable
+    shutil.rmtree(old_dir, ignore_errors=True)
     if fail_after_step == "graft_term_stats":
         raise RuntimeError("injected failure after step graft_term_stats")
 

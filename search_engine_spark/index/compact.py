@@ -157,15 +157,22 @@ def _rewrite_packed(
     )
     total = spark.read.schema(PACKED_SCHEMA).parquet(tmp).count()
     old_man = _side_manifest(os.path.join(pidx.dir, "packed"))
-    _write_side_manifest(
-        tmp,
-        {
-            "format": 1,
-            "n_buckets": (old_man or {}).get("n_buckets", pidx.n_buckets),
-            "files": files,
-            "total_rows": total,
-        },
-    )
+    side = {
+        "format": 1,
+        "n_buckets": (old_man or {}).get("n_buckets", pidx.n_buckets),
+        "files": files,
+        "total_rows": total,
+    }
+    # block ids SURVIVE compaction (only block contents shrink), so the old
+    # high-water mark remains a valid bound and MUST carry forward: after a
+    # compaction shrinks df, the next append's fallback hwm
+    # (ceil(max(df)/block_size)+1) could land BELOW surviving appended-
+    # generation block ids, minting duplicate (term,field,salt,block_id)
+    # identities — the uniqueness invariant append.py documents and the
+    # block-max pruner keys on.
+    if old_man and "block_id_hwm" in old_man:
+        side["block_id_hwm"] = int(old_man["block_id_hwm"])
+    _write_side_manifest(tmp, side)
     n_before = pidx.packed.count()
     return total, n_before
 
@@ -189,9 +196,12 @@ def _stats_delta(pidx: PackedIndex, ts_ids: list) -> DataFrame:
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
     """Purge all tombstones from the index at ``out_dir`` in place.
     No-op (returns ``n_purged=0``) when there are none."""
+    from search_engine_spark.index.deletes import recover_delete_inflight
+
+    check_not_inflight(out_dir)
+    recover_delete_inflight(out_dir)
     man = Manifest(os.path.join(out_dir, "manifest.json"))
     lin = man.data["lineage"]
-    check_not_inflight(out_dir)
     n_del = int(lin.get("n_deleted", 0))
     if n_del == 0:
         return {"n_purged": 0}

@@ -23,6 +23,7 @@ every delete generation with counters.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -33,10 +34,54 @@ from pyspark.sql import functions as F
 from search_engine_spark.index.persist import Manifest
 
 TOMBSTONES = "tombstones"
+DELETE_INFLIGHT = "delete_inflight.json"
 
 
 def tombstones_path(out_dir: str) -> str:
     return os.path.join(out_dir, TOMBSTONES)
+
+
+def recover_delete_inflight(out_dir: str) -> None:
+    """Roll a crashed delete commit forward (idempotent, pure file ops).
+
+    The commit protocol journals the intended final state BEFORE the
+    tombstone-table swap, so every crash window is recoverable:
+
+    - journal + ``tombstones.tmp`` present  -> swap not finished: (re)do it
+      (``os.replace`` removes tmp, so tmp present is proof the new table
+      isn't live yet; the live dir, if present, is the OLD one)
+    - journal present, tmp absent           -> swap done; re-apply the
+      journaled manifest lineage (``set_lineage`` is idempotent) and drop
+      the journal
+
+    Without this, a crash between ``rmtree(tombstones)`` and the rename
+    left ``n_deleted > 0`` with no tombstone table — PackedIndex would
+    subtract n_deleted from live N while filtering nothing.
+    """
+    p = os.path.join(out_dir, DELETE_INFLIGHT)
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        j = json.load(f)
+    t_dir = tombstones_path(out_dir)
+    tmp = t_dir + ".tmp"
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        shutil.rmtree(t_dir, ignore_errors=True)
+        os.replace(tmp, t_dir)
+    elif os.path.exists(tmp):
+        # tmp never finished writing: the old table (if any) is still live
+        # and the manifest never advanced — abort the generation cleanly
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(p)
+        return
+    man = Manifest(os.path.join(out_dir, "manifest.json"))
+    lin = man.data["lineage"]
+    entry = j["entry"]
+    logged = [e for e in lin.get("deletes", []) if e["generation"] != entry["generation"]]
+    man.set_lineage(
+        n_deleted=int(j["n_deleted"]), deletes=logged + [entry]
+    )
+    os.remove(p)
 
 
 def delete_docs(
@@ -50,6 +95,7 @@ def delete_docs(
     from search_engine_spark.index.compact import check_not_inflight
 
     check_not_inflight(out_dir)
+    recover_delete_inflight(out_dir)
     man = Manifest(os.path.join(out_dir, "manifest.json"))
     lin = man.data["lineage"]
     n_docs = int(lin["n_docs"])
@@ -96,8 +142,6 @@ def delete_docs(
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.parquet(tmp)
     total = spark.read.parquet(tmp).count()
-    shutil.rmtree(t_dir, ignore_errors=True)
-    os.replace(tmp, t_dir)
 
     entry = {
         "generation": len(lin.get("deletes", [])) + 1,
@@ -105,7 +149,20 @@ def delete_docs(
         "n_deleted_total": total,
         "ts": time.time(),
     }
+    # journaled commit (mirrors compact's inflight file): the journal pins
+    # the intended final state BEFORE the swap, so a crash anywhere between
+    # here and the manifest write rolls FORWARD via recover_delete_inflight
+    # — no window where n_deleted and the on-disk tombstone set disagree
+    # for a reader that runs recovery (PackedIndex.__init__ does).
+    journal = os.path.join(out_dir, DELETE_INFLIGHT)
+    j_tmp = journal + ".tmp"
+    with open(j_tmp, "w") as f:
+        json.dump({"n_deleted": total, "entry": entry}, f)
+    os.replace(j_tmp, journal)
+    shutil.rmtree(t_dir, ignore_errors=True)
+    os.replace(tmp, t_dir)
     man.set_lineage(
         n_deleted=total, deletes=lin.get("deletes", []) + [entry]
     )
+    os.remove(journal)
     return entry

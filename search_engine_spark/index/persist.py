@@ -1763,10 +1763,13 @@ class PackedIndex(IndexTables):
     def __init__(self, spark: SparkSession, out_dir: str, cfg: BuildConfig | None = None):
         self.spark = spark
         self.dir = out_dir
-        # refuse (or roll forward) a compaction that crashed mid-commit
+        # refuse (or roll forward) a compaction that crashed mid-commit,
+        # and roll forward a journaled delete commit (pure file ops)
         from search_engine_spark.index.compact import check_not_inflight
+        from search_engine_spark.index.deletes import recover_delete_inflight
 
         check_not_inflight(out_dir)
+        recover_delete_inflight(out_dir)
         with open(f"{out_dir}/corpus_stats.json") as f:
             st = json.load(f)
         man = Manifest(os.path.join(out_dir, "manifest.json"))
@@ -1786,6 +1789,15 @@ class PackedIndex(IndexTables):
         self.n_purged = int(man.data["lineage"].get("n_purged", 0))
         self.tombstones = None
         t_dir = os.path.join(out_dir, "tombstones")
+        if self.n_deleted and not os.path.isdir(t_dir):
+            # post-recovery this state is unreachable via the journaled
+            # delete/compact protocols — refuse rather than silently
+            # subtract n_deleted from live N while filtering nothing
+            raise RuntimeError(
+                f"index at {out_dir} records n_deleted={self.n_deleted} but "
+                "has no tombstones table — delete commit corrupted; restore "
+                "from snapshot or rebuild"
+            )
         if self.n_deleted and os.path.isdir(t_dir):
             self.tombstones = spark.read.parquet(t_dir)
         super().__init__(

@@ -112,7 +112,15 @@ def test_chained_appends(spark, code_docs, split_docs, full_idx, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "step", ["delta", "graft_docs", "graft_packed", "graft_term_stats"]
+    "step",
+    [
+        "delta", "graft_docs", "graft_packed", "graft_term_stats",
+        # mid-step crash windows (ADVICE r03): partial doc-table move,
+        # and each sub-state of the term_stats merge+swap — in particular
+        # ts_swapped (swap done, stage mark missing), which must NOT
+        # re-merge the delta's df/ctf into the already-merged table
+        "moved_doc_ids", "ts_merged", "ts_renamed", "ts_swapped",
+    ],
 )
 def test_append_resumes_after_crash(
     spark, split_docs, full_idx, tmp_path, step
@@ -125,6 +133,30 @@ def test_append_resumes_after_crash(
         append_to_index(spark, delta, cfg, fail_after_step=step)
     append_to_index(spark, delta, cfg)  # resume same generation
     _assert_equivalent(spark, PackedIndex(spark, out), full_idx)
+
+
+def test_move_parts_resume_no_loss(tmp_path):
+    """_move_parts resumed after a partial move must keep every row: target
+    names derive from the SOURCE filename, so the surviving sources map to
+    the same targets regardless of which files already moved (the
+    enumeration-index scheme renumbered survivors from 0, collided with
+    already-moved targets, and os.remove'd them unmoved — silent row loss)."""
+    from search_engine_spark.index.append import _move_parts
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir(), dst.mkdir()
+    names = [f"part-0000{i}-uuid{i}.snappy.parquet" for i in range(4)]
+    for n in names:
+        (src / n).write_text(f"content-of-{n}")
+    # simulate a crash that moved only the first two files
+    for n in names[:2]:
+        os.replace(src / n, dst / f"append1-{n}")
+    moved = _move_parts(str(src), str(dst), "append1")
+    assert sorted(moved) == sorted(f"append1-{n}" for n in names)
+    for n in names:  # every file's content present exactly once
+        assert (dst / f"append1-{n}").read_text() == f"content-of-{n}"
+    assert not list(src.iterdir())
 
 
 def test_append_contract_errors(spark, split_docs, tmp_path):

@@ -270,3 +270,38 @@ def test_compact_noop_and_post_compact_deletes(spark, compacted):
     re = PackedIndex(spark, idx.dir)
     assert re.n_purged == purged and re.n_deleted == 1
     assert re.corpus.n_docs == idx.corpus.n_docs - 1
+
+
+def test_compact_preserves_block_id_hwm(spark, code_docs, tmp_path):
+    """Compaction must carry block_id_hwm forward in the packed side
+    manifest: block ids survive compaction but df shrinks, so the next
+    append's max(df)-based fallback hwm could land BELOW surviving
+    appended-generation block ids — duplicate (term,field,salt,block_id)
+    identities, the invariant the block-max pruner keys on."""
+    from search_engine_spark.index.append import append_to_index
+    from search_engine_spark.index.persist import _side_manifest
+
+    out = str(tmp_path / "idx_hwm")
+    base = code_docs.where(F.col("docid") <= 100)
+    d1 = code_docs.where(F.col("docid").between(101, 110))
+    d2 = code_docs.where(F.col("docid") > 110)
+    build_persistent_index(spark, base, _cfg(out), resume=False)
+    append_to_index(spark, d1, _cfg(out))  # records block_id_hwm
+    hwm_before = _side_manifest(f"{out}/packed")["block_id_hwm"]
+
+    pidx = PackedIndex(spark, out)
+    ids = sorted(r["docid"] for r in pidx.doc_ids.select("docid").collect())
+    delete_docs(spark, out, docids=[ids[1], ids[10], ids[50]])
+    compact_index(spark, out)
+    assert _side_manifest(f"{out}/packed")["block_id_hwm"] == hwm_before
+
+    # a post-compaction append must not mint colliding block identities
+    append_to_index(spark, d2, _cfg(out))
+    packed = PackedIndex(spark, out).packed
+    dups = (
+        packed.groupBy("term", "field", "salt", "block_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0

@@ -177,3 +177,99 @@ def test_reopen_without_deletes_is_noop(spark, pristine, copy_dir):
     assert idx.n_deleted == 0
     assert idx.corpus.n_docs == pristine.corpus.n_docs
     assert idx.doc_ids.count() == pristine.doc_ids.count()
+
+
+def test_delete_journal_rolls_forward(spark, pristine, copy_dir):
+    """A delete commit that crashed inside the journaled window (worst case:
+    old tombstone table rmtree'd, merged tmp not yet renamed) rolls FORWARD
+    on the next open — tombstone table restored from tmp, manifest lineage
+    re-applied from the journal. Without the journal, this window left
+    n_deleted>0 with NO tombstone table: PackedIndex subtracted from live N
+    while filtering nothing."""
+    import json
+    import os
+
+    from search_engine_spark.index.deletes import (
+        DELETE_INFLIGHT,
+        tombstones_path,
+    )
+
+    ids = sorted(r["docid"] for r in pristine.doc_ids.select("docid").collect())
+    v1, v2 = int(ids[1]), int(ids[5])
+    delete_docs(spark, copy_dir, docids=[v1])  # generation 1 commits fully
+
+    # hand-craft the generation-2 crash state exactly as delete_docs leaves
+    # it between rmtree(tombstones) and os.replace(tmp, tombstones)
+    t_dir = tombstones_path(copy_dir)
+    tmp = t_dir + ".tmp"
+    (
+        spark.read.parquet(t_dir)
+        .unionByName(spark.createDataFrame([(v2,)], "docid long"))
+        .distinct()
+        .coalesce(1)
+        .write.parquet(tmp)
+    )
+    entry = {"generation": 2, "n_requested": 1, "n_deleted_total": 2, "ts": 0.0}
+    with open(os.path.join(copy_dir, DELETE_INFLIGHT), "w") as f:
+        json.dump({"n_deleted": 2, "entry": entry}, f)
+    shutil.rmtree(t_dir)
+
+    idx = PackedIndex(spark, copy_dir)  # recovery runs in __init__
+    assert idx.n_deleted == 2
+    assert _docids(idx.tombstones) == {v1, v2}
+    assert idx.corpus.n_docs == pristine.corpus.n_docs - 2
+    assert not os.path.exists(os.path.join(copy_dir, DELETE_INFLIGHT))
+    with open(os.path.join(copy_dir, "manifest.json")) as f:
+        lin = json.load(f)["lineage"]
+    assert [e["generation"] for e in lin["deletes"]] == [1, 2]
+    # recovery is idempotent: a second open changes nothing
+    idx2 = PackedIndex(spark, copy_dir)
+    assert idx2.n_deleted == 2 and _docids(idx2.tombstones) == {v1, v2}
+
+
+def test_delete_journal_swap_done_mark_missing(spark, pristine, copy_dir):
+    """Crash AFTER the tombstone swap but before the manifest write: tmp is
+    gone (os.replace consumed it), the journal alone says the new table is
+    live — recovery must re-apply the journaled lineage, not re-merge."""
+    import json
+    import os
+
+    from search_engine_spark.index.deletes import (
+        DELETE_INFLIGHT,
+        tombstones_path,
+    )
+
+    ids = sorted(r["docid"] for r in pristine.doc_ids.select("docid").collect())
+    v1, v2 = int(ids[2]), int(ids[7])
+    delete_docs(spark, copy_dir, docids=[v1])
+    t_dir = tombstones_path(copy_dir)
+    # new table already swapped in (simulate by rewriting it), tmp absent
+    tmp = t_dir + ".swap"
+    (
+        spark.read.parquet(t_dir)
+        .unionByName(spark.createDataFrame([(v2,)], "docid long"))
+        .distinct()
+        .coalesce(1)
+        .write.parquet(tmp)
+    )
+    shutil.rmtree(t_dir)
+    os.replace(tmp, t_dir)
+    entry = {"generation": 2, "n_requested": 1, "n_deleted_total": 2, "ts": 0.0}
+    with open(os.path.join(copy_dir, DELETE_INFLIGHT), "w") as f:
+        json.dump({"n_deleted": 2, "entry": entry}, f)
+
+    idx = PackedIndex(spark, copy_dir)
+    assert idx.n_deleted == 2 and _docids(idx.tombstones) == {v1, v2}
+    assert not os.path.exists(os.path.join(copy_dir, DELETE_INFLIGHT))
+
+
+def test_missing_tombstones_without_journal_refuses(spark, pristine, copy_dir):
+    """n_deleted>0 with no tombstone table and no journal is unrecoverable
+    corruption — opening must refuse loudly, never silently mis-count N."""
+    from search_engine_spark.index.deletes import tombstones_path
+
+    ids = sorted(r["docid"] for r in pristine.doc_ids.select("docid").collect())
+    delete_docs(spark, copy_dir, docids=[int(ids[0])])
+    shutil.rmtree(tombstones_path(copy_dir))
+    with pytest.raises(RuntimeError, match="no tombstones table"):
+        PackedIndex(spark, copy_dir)
