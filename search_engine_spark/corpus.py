@@ -108,20 +108,56 @@ def _zipf_term(rng: random.Random) -> str:
     return VOCAB[bisect.bisect_left(_ZIPF_CUM, u)]
 
 
+# --- bursty variant (identifier locality) ----------------------------------
+# Real code corpora are not i.i.d.: a repository reuses its own identifiers
+# heavily (a parser repo says "token" hundreds of times), so per-document tf
+# for a repo's focus terms is 10-50x the corpus-wide tf, and — because
+# with_docids assigns docids in (repo, path) order — those bursts are
+# CONTIGUOUS in docid space. That skew is what gives per-block max_tf its
+# variance, i.e. what block-max pruning (engine/pruning.py) exists for; the
+# plain i.i.d. Zipf corpus makes every 128-posting block look alike and
+# provably nothing can skip. bursty=True assigns each repo a THEME (a small
+# slice of the vocabulary) and draws ~25% of tokens from it.
+N_THEMES = 100
+THEME_SIZE = 4
+# Theme terms overlap the mid-Zipf vocabulary on purpose: outside its theme
+# a term appears with tf 1-2 (block upper bound ≈ 0.84·idf at best), inside
+# it with tf 10-60, deep in BM25 tf-saturation (score ≈ 0.95·idf). The
+# top-k therefore sits safely ABOVE almost every generic block's bound —
+# the margin block-max pruning monetizes on real corpora, produced here by
+# the same mechanism (identifier burstiness over a common vocabulary).
+_THEME_VOCAB_BASE = 200
+
+
+def theme_terms(theme: int) -> list[str]:
+    base = _THEME_VOCAB_BASE + (theme % N_THEMES) * THEME_SIZE
+    return VOCAB[base : base + THEME_SIZE]
+
+
+def repo_theme(repo_rank: int) -> int:
+    # theme = the ORG (25 repos share an org prefix, and with_docids orders
+    # docids lexicographically by repo, so an org's docs are near-contiguous
+    # in docid space): a theme's burst postings form long consecutive runs,
+    # the shape a real repo-by-repo ingest produces
+    return (repo_rank // 25) % N_THEMES
+
+
 def _doc_len(rng: random.Random) -> int:
     """20–2000 tokens, Zipf-ish (most docs short, a fat tail)."""
     u = rng.random()
     return min(2000, int(20 * math.exp(u * math.log(100))))
 
 
-def generate_code_rows(n_files: int, seed: int = 42) -> list[tuple]:
+def generate_code_rows(
+    n_files: int, seed: int = 42, bursty: bool = False
+) -> list[tuple]:
     """Deterministic rows (repo, path, commit, lang, content) — row i depends
     only on (seed, i, n_files), so generation distributes (see
     distributed_corpus_df) and the driver/executor outputs are identical."""
-    return [_gen_row(i, n_files, seed) for i in range(n_files)]
+    return [_gen_row(i, n_files, seed, bursty) for i in range(n_files)]
 
 
-def _gen_row(i: int, n_files: int, seed: int) -> tuple:
+def _gen_row(i: int, n_files: int, seed: int, bursty: bool = False) -> tuple:
     # string seeds hash deterministically in random.Random (sha512-based),
     # independent of PYTHONHASHSEED — same row on driver and any executor
     rng = random.Random(f"{seed}:{i}")
@@ -133,6 +169,7 @@ def _gen_row(i: int, n_files: int, seed: int) -> tuple:
     commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:40]
 
     kws = KEYWORDS_BY_LANG[lang]
+    theme = theme_terms(repo_theme(r)) if bursty else None
     n_tok = _doc_len(rng)
     toks: list[str] = []
     while len(toks) < n_tok:
@@ -145,6 +182,11 @@ def _gen_row(i: int, n_files: int, seed: int) -> tuple:
             # near-phrase with a gap token (exercises #NEAR distances)
             ph = rng.choice(PHRASES)
             toks.extend([ph[0], _zipf_term(rng), ph[1], ph[2]])
+        elif bursty and u < 0.70:
+            # identifier locality: the repo's own theme terms, drawn so often
+            # that per-doc tf is 10-50x the corpus-wide rate (docid-contiguous
+            # because with_docids orders by repo)
+            toks.append(rng.choice(theme))
         else:
             toks.append(_zipf_term(rng))
     # df=1 terms: planted in exactly one fixed doc each
@@ -164,10 +206,11 @@ def _gen_row(i: int, n_files: int, seed: int) -> tuple:
 
 
 def code_corpus_df(
-    spark: SparkSession, n_files: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n_files: int, seed: int = 42,
+    partitions: int | None = None, bursty: bool = False,
 ) -> DataFrame:
     """The synthetic Iceberg-shaped source table as a DataFrame."""
-    rows = generate_code_rows(n_files, seed)
+    rows = generate_code_rows(n_files, seed, bursty)
     df = spark.createDataFrame(rows, CODE_DOC_SCHEMA)
     if partitions:
         df = df.repartition(partitions)
@@ -175,7 +218,8 @@ def code_corpus_df(
 
 
 def distributed_corpus_df(
-    spark: SparkSession, n_files: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n_files: int, seed: int = 42,
+    partitions: int | None = None, bursty: bool = False,
 ) -> DataFrame:
     """Same rows as code_corpus_df, but generated ON THE EXECUTORS:
     spark.range over file indexes -> mapInPandas calling the per-row
@@ -186,7 +230,7 @@ def distributed_corpus_df(
 
     def gen(batches):
         for pdf in batches:
-            rows = [_gen_row(int(i), n_files, seed) for i in pdf["id"]]
+            rows = [_gen_row(int(i), n_files, seed, bursty) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["repo", "path", "commit", "lang", "content"]
             )

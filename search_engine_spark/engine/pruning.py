@@ -137,17 +137,45 @@ def bm25_topk_pruned(
         range_ub.append(tot)
         per_range_blocks.append(rb)
 
-    # ---- 2. seed phase: best ranges by UB until >= k candidate postings --
+    # ---- 2. seed phase: best ranges by UB until the seed is guaranteed to
+    # contain >= k distinct docids. A single term's postings are distinct
+    # docs, so we count UNIQUE blocks per term and stop once one term's
+    # covered postings reach k (counting across terms under-seeds: 100
+    # postings of 3 terms can be ~40 docs, leaving theta at -inf and the
+    # prune phase vacuous — the r03 13/13-blocks-scanned failure mode).
     order = sorted(range(len(ranges)), key=lambda i: -range_ub[i])
-    seed, seed_posts = [], 0
     block_n = {
         (r["term"], r["salt"], r["block_id"]): r["n"] for r in meta
     }
-    for i in order:
-        if seed_posts >= k and seed:
-            break
-        seed.append(i)
-        seed_posts += sum(block_n[key] for key in per_range_blocks[i])
+    term_posts: dict[str, int] = {}
+    counted: set = set()
+    pos = 0
+
+    def take_ranges(min_ranges: int, until_k_posts: bool = False) -> list[int]:
+        """Next ranges in UB order: at least min_ranges, and (seed call)
+        extending until one term's unique-block posting count reaches k."""
+        nonlocal pos
+        batch: list[int] = []
+        while pos < len(order) and (
+            len(batch) < min_ranges or (until_k_posts and not counted_enough())
+        ):
+            i = order[pos]
+            pos += 1
+            batch.append(i)
+            for key in per_range_blocks[i]:
+                if key not in counted:
+                    counted.add(key)
+                    term_posts[key[0]] = term_posts.get(key[0], 0) + block_n[key]
+        return batch
+
+    # seed target: 2k postings of one term, floored at ~2 blocks — a seed at
+    # exactly k docs leaves theta at the k-th best of a BARELY sufficient
+    # sample; doubling the sample tightens theta for the cost of a couple of
+    # extra blocks, typically halving the survivor set
+    seed_target = max(2 * k, 2 * max(block_n.values()))
+
+    def counted_enough() -> bool:
+        return bool(term_posts) and max(term_posts.values()) >= seed_target
 
     seen_blocks: set = set()
 
@@ -180,9 +208,25 @@ def bm25_topk_pruned(
         )
         return scored.groupBy("docid").agg(F.sum("score").alias("score"))
 
+    # minimum 4 ranges: with a small k a single range can satisfy the
+    # posting count yet hold only weak docs, leaving theta loose and the
+    # prune phase vacuous — a few extra seed ranges cost one filter clause
+    seed = take_ranges(4, until_k_posts=True)
     seed_scores = score_ranges(seed).cache()
     st.n_ranges_scanned = len(seed)
     top = seed_scores.orderBy(F.desc("score")).limit(k).collect()
+    # top-up: block boundaries can split ranges so the covered-posting count
+    # over-estimates the docids actually inside the seed ranges — extend in
+    # doubling batches (still UB order, so theta only tightens) until the
+    # seed holds k docs or every range is scored. Scores from different
+    # ranges are for DISJOINT docids (ranges partition the docid space), so
+    # plain unions need no re-aggregation.
+    while len(top) < k and pos < len(order):
+        extra = take_ranges(max(16, len(seed)))
+        seed.extend(extra)
+        st.n_ranges_scanned += len(extra)
+        seed_scores = seed_scores.unionByName(score_ranges(extra)).cache()
+        top = seed_scores.orderBy(F.desc("score")).limit(k).collect()
     theta = top[-1]["score"] if len(top) >= k else -math.inf
     st.theta = theta
 

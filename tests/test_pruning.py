@@ -63,3 +63,39 @@ def test_absent_term_query(spark, pidx):
     from search_engine_spark.corpus import ABSENT_TERM
 
     assert bm25_topk_pruned(pidx, [ABSENT_TERM], k=5).collect() == []
+
+
+@pytest.fixture(scope="module")
+def bursty_pidx(spark, tmp_path_factory):
+    """Bursty corpus (identifier locality — corpus.py repo themes): the
+    per-block max_tf skew block-max pruning was designed for."""
+    from search_engine_spark.corpus import code_corpus_df, with_docids
+
+    out = str(tmp_path_factory.mktemp("pruneburst") / "v1")
+    docs = with_docids(code_corpus_df(spark, 4000, bursty=True))
+    cfg = BuildConfig(
+        out_dir=out, n_buckets=4, block_size=32, merge_partitions=8,
+        fields={"body": "content"}, tokenizer=CODE_TOKENIZER,
+    )
+    build_persistent_index(spark, docs, cfg)
+    return PackedIndex(spark, out)
+
+
+def test_bursty_pruning_skips_and_is_identical(spark, bursty_pidx):
+    """On the bursty corpus a same-theme query must skip a meaningful share
+    of blocks AND stay bitwise-identical to the exact plan. (On the i.i.d.
+    corpus block bounds are homogeneous and nothing CAN skip — the r03
+    finding; burstiness is the property that makes pruning pay.)"""
+    from search_engine_spark.corpus import theme_terms
+
+    eng = Engine(bursty_pidx, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
+    skipped_any = False
+    for th in (0, 1, 2):
+        q = theme_terms(th)[:3]
+        st = PruneStats()
+        pruned = [tuple(r) for r in bm25_topk_pruned(bursty_pidx, q, k=10, stats=st).collect()]
+        exact = [tuple(r) for r in eng.search(" ".join(q), 10).collect()]
+        assert pruned == exact and pruned, f"theme {th} diverged"
+        if st.n_blocks_scanned < st.n_blocks_total:
+            skipped_any = True
+    assert skipped_any, "no theme query skipped a single block"
