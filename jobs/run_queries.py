@@ -41,6 +41,16 @@ def main() -> None:
                     help="answer the WHOLE query file as one Spark job "
                          "(flat BM25 BOW only): one union postings scan, "
                          "one shuffle, per-qid top-k — engine/batch.py")
+    ap.add_argument("--fb", action="store_true",
+                    help="two-round PRF expansion per query (SURVEY §2.10)")
+    ap.add_argument("--fb-docs", type=int, default=10)
+    ap.add_argument("--fb-terms", type=int, default=10)
+    ap.add_argument("--fb-mu", type=float, default=0.0)
+    ap.add_argument("--fb-orig-weight", type=float, default=0.5)
+    ap.add_argument("--fb-expansion-query-file", default=None,
+                    help="persist each expanded query as 'qid: query' lines "
+                         "(fbExpansionQueryFile, QryEval.java:944-947); the "
+                         "file replays through --queries as-is")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--passes", type=int, default=1,
                     help="run the full query set this many times; per-pass "
@@ -76,10 +86,26 @@ def main() -> None:
             tl.eng = Engine(pidx, ModelConfig(name=args.model))
         return tl.eng
 
+    fbp = None
+    expansions: dict[str, str] = {}
+    if args.fb:
+        from search_engine_spark.engine.expand import FbParams
+
+        fbp = FbParams(
+            fb_docs=args.fb_docs, fb_terms=args.fb_terms, fb_mu=args.fb_mu,
+            fb_orig_weight=args.fb_orig_weight,
+        )
+
     def answer(qid: str, text: str) -> tuple[str, list[str], float]:
         tq = time.time()
         toks = qtok.tokenize(text)
-        if args.pruned and args.model == BM25 and "#" not in text:
+        if args.fb:
+            from search_engine_spark.engine.expand import search_expanded
+
+            df, _, exp = search_expanded(_engine(), text, fbp, args.k)
+            expansions[qid] = exp or ""
+            rows = [] if df is None else [r.asDict() for r in df.collect()]
+        elif args.pruned and args.model == BM25 and "#" not in text:
             rows = [r.asDict() for r in bm25_topk_pruned(pidx, toks, args.k).collect()]
         else:
             rows = [r.asDict() for r in _engine().search(text, args.k).collect()]
@@ -122,6 +148,13 @@ def main() -> None:
         pass_secs.append(round(time.time() - t0, 3))
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
+    if args.fb and args.fb_expansion_query_file:
+        from search_engine_spark.engine.expand import write_expansion_file
+
+        write_expansion_file(
+            args.fb_expansion_query_file,
+            [(qid, expansions.get(qid, "")) for qid, _ in pairs],
+        )
     best = min(pass_secs)
     print(
         json.dumps(

@@ -205,6 +205,49 @@ WHERE (len(list_intersect(ka.keys, kb.keys))::DOUBLE
 )
 
 
+# -- dup-GROUP consolidation (connected components over near-dup pairs) -----
+
+
+def _q_dedup_groups(spark, sf_dir):
+    pairs = dd.minhash_near_dups(
+        _docs(spark, sf_dir), "doc_id", "text",
+        k=MH_K, n_hashes=MH_N, bands=MH_BANDS, threshold=MH_TAU,
+        tokenizer=WHITESPACE_TOKENIZER,
+    )
+    return dd.dup_groups(pairs)
+
+
+_register(
+    "dedup_groups",
+    _q_dedup_groups,
+    # the oracle computes the same components with a recursive CTE: reach
+    # (id, r) = r is reachable from id over the undirected pair graph;
+    # min(r) per id is the component min — exactly dup_groups' fixpoint
+    "WITH RECURSIVE "
+    + _sql_minhash_sigs(MH_K).lstrip()
+    + ","
+    + _sql_lsh_pairs(MH_BANDS, MH_N // MH_BANDS)
+    + f""",
+verified AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN sigs ka ON ka.doc_id = p.id_a
+  JOIN sigs kb ON kb.doc_id = p.id_b
+  WHERE (len(list_intersect(ka.keys, kb.keys))::DOUBLE
+         / (len(ka.keys) + len(kb.keys) - len(list_intersect(ka.keys, kb.keys)))::DOUBLE
+        ) >= {MH_TAU!r}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+SELECT id::BIGINT AS id, min(r)::BIGINT AS group_id,
+       (id = min(r)) AS keep
+FROM reach GROUP BY id""",
+)
+
+
 # -- exact n-gram jaccard (all pairs) ---------------------------------------
 
 

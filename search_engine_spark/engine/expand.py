@@ -165,6 +165,29 @@ def expanded_query(orig: str, learned: str, p: FbParams) -> str:
     return f"#WAND ( {w} #AND( {orig} ) {1 - w} {learned})"
 
 
+def write_expansion_file(path: str, items: list[tuple[str, str]]) -> None:
+    """fbExpansionQueryFile sink — persist every expanded query as
+    ``qid: query`` lines (QryEval.java:944-947 writes exactly this shape so
+    a later run can replay the expanded set as a plain query file)."""
+    with open(path, "w") as f:
+        for qid, exp in items:
+            if exp:
+                f.write(f"{qid}: {exp}\n")
+
+
+def read_query_file(path: str) -> list[tuple[str, str]]:
+    """Parse the reference's query-file format (one ``qid:querytext`` per
+    line, QryEval.java:659-673) — the same reader run_queries uses, so an
+    expansion file round-trips through it."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                qid, text = line.strip().split(":", 1)
+                out.append((qid.strip(), text.strip()))
+    return out
+
+
 def search_expanded(
     eng: Engine,
     query: str,

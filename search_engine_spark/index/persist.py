@@ -1859,14 +1859,20 @@ class PackedIndex(IndexTables):
         pairs: list[tuple[str, str]],
         with_positions: bool = False,
         block_filter: DataFrame | None = None,
+        block_keys: list[tuple[str, str, int, int]] | None = None,
+        coalesce_to: int | None = None,
     ) -> DataFrame:
         """(term, field) pairs -> postings-shaped DataFrame
         (term, field, docid, tf, doclen[, positions], df, ctf).
 
         The parquet scan is pruned to the terms' buckets; decode is an
         Arrow-batched numpy loop (no per-row Python). ``block_filter``
-        (term, field, salt, block_id) restricts to surviving blocks —
-        the block-max pruning hook."""
+        (term, field, salt, block_id) DataFrame restricts to surviving
+        blocks via a broadcast join; ``block_keys`` is the same restriction
+        as a PUSHED PREDICATE — per-(term, field, salt) block_id IN-lists
+        that reach the parquet row-group stats, no join in the plan. The
+        block-max pruning hook uses keys below a size gate and the join
+        past it (an IN-list of millions of ids stops being a predicate)."""
         from search_engine_spark.index.codec import decode_block
 
         scan_cols = [
@@ -1876,10 +1882,31 @@ class PackedIndex(IndexTables):
         if with_positions:
             scan_cols.append("positions")
         scan = self.packed.where(self._pairs_cond(pairs)).select(*scan_cols)
+        if block_keys is not None:
+            by_tfs: dict[tuple, list[int]] = {}
+            for t, f, s, b in block_keys:
+                by_tfs.setdefault((t, f, s), []).append(b)
+            cond = None
+            for (t, f, s), bids in sorted(by_tfs.items()):
+                c = (
+                    (F.col("term") == t)
+                    & (F.col("field") == f)
+                    & (F.col("salt") == s)
+                    & F.col("block_id").isin(bids)
+                )
+                cond = c if cond is None else (cond | c)
+            scan = scan.where(cond if cond is not None else F.lit(False))
         if block_filter is not None:
             scan = scan.join(
                 F.broadcast(block_filter), ["term", "field", "salt", "block_id"]
             )
+        if coalesce_to is not None:
+            # caller-planned stage sizing: when block metadata says the
+            # filtered scan is tiny, fewer splits = fewer per-task python
+            # worker roundtrips (coalesce, no shuffle). At scale the split
+            # count tracks surviving blocks anyway; local files are tiny and
+            # per-file splits would otherwise dominate the stage.
+            scan = scan.coalesce(max(1, coalesce_to))
 
         out_fields = [
             T.StructField("term", T.StringType()),

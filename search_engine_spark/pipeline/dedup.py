@@ -333,3 +333,74 @@ def simhash_near_dups(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# dup-GROUP consolidation (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Near-dup PAIRS (X5/X8 output: id_a, id_b) -> keep/drop GROUPS:
+    (id, group_id, keep) with group_id = the connected component's min id
+    and keep true only for that canonical member — the consolidation a
+    training-data filter actually consumes (drop every row with keep=false).
+
+    Connected components by iterative min-label propagation (PySpark has no
+    GraphX binding; this is the hash-join formulation): every node starts
+    labeled with its own id and each round adopts the minimum label in its
+    closed neighborhood, converging in O(component diameter) rounds — LSH
+    dup graphs are small-world clusters, so a handful. Each round is ONE
+    shuffle of the pair set (≪ corpus) joined against the current labels
+    plus a changed-row count; frames are localCheckpointed so the plan
+    stays O(1) deep instead of growing by two joins per round."""
+    edges = (
+        pairs.select(
+            F.col("id_a").cast("long").alias("src"),
+            F.col("id_b").cast("long").alias("dst"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("id_b").cast("long").alias("src"),
+                F.col("id_a").cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()  # reused every round — compute the pairs once
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "id",
+        F.col("label").alias("group_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )

@@ -78,6 +78,26 @@ def test_two_round_retrieval_matches_oracle(indri_eng, py_oracle):
         assert g[3] == pytest.approx(w[3], rel=1e-9)
 
 
+def test_expansion_file_roundtrip(indri_eng, tmp_path):
+    """fbExpansionQueryFile (QryEval.java:944-947): the persisted expanded
+    queries re-parse through the standard query-file reader and reproduce
+    the PRF run's results exactly."""
+    from search_engine_spark.engine.expand import (
+        read_query_file,
+        write_expansion_file,
+    )
+
+    p = FbParams(fb_docs=5, fb_terms=6, fb_mu=0.0, fb_orig_weight=0.5)
+    res, _, exp = search_expanded(indri_eng, "lock free queue", p, k=10)
+    want = [tuple(r) for r in res.collect()]
+    path = str(tmp_path / "expansion.qry")
+    write_expansion_file(path, [("9", exp)])
+    back = read_query_file(path)
+    assert back == [("9", exp)]
+    replay = [tuple(r) for r in indri_eng.search(back[0][1], 10).collect()]
+    assert replay == want
+
+
 def test_no_match_returns_none(indri_eng):
     from search_engine_spark.corpus import ABSENT_TERM
 

@@ -148,3 +148,23 @@ def test_shingles_edge_short_doc(spark):
     from search_engine_spark.pipeline.hashing import MERSENNE31
 
     assert list(row["signature"]) == [MERSENNE31] * 4
+
+
+def test_dup_groups_connected_components(spark):
+    """dup_groups consolidates pairs into components: a 5-node CHAIN (needs
+    several propagation rounds), a separate 2-cycle, and ids that never pair
+    staying absent. keep marks exactly the min id of each component."""
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14 given as far-apart links + triangle 20,21,22
+        [(13, 14), (10, 11), (12, 13), (11, 12), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: (r["group_id"], r["keep"])
+        for r in dd.dup_groups(pairs).collect()
+    }
+    assert got == {
+        10: (10, True), 11: (10, False), 12: (10, False),
+        13: (10, False), 14: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+    }

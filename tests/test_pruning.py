@@ -45,6 +45,24 @@ def test_pruned_identical_to_exact(spark, pidx, terms, code_index):
     ]
     assert pruned == exact
     assert stats.n_blocks_total > 0
+    assert stats.seed_mode == "driver"  # pyarrow planner engaged, no seed job
+
+
+@pytest.mark.parametrize("terms", QUERIES[:2], ids=["+".join(q) for q in QUERIES[:2]])
+def test_spark_seed_fallback_identical(spark, pidx, terms, code_index, monkeypatch):
+    """SPARK_GRAFT_PRUNE_SPARK_SEED=1 forces the r03 two-phase Spark seed —
+    the fallback for layouts/tombstone-sets the driver can't read; its output
+    must stay bitwise the exact plan's too."""
+    monkeypatch.setenv("SPARK_GRAFT_PRUNE_SPARK_SEED", "1")
+    k = 20
+    stats = PruneStats()
+    pruned = [
+        tuple(r) for r in bm25_topk_pruned(pidx, terms, k=k, stats=stats).collect()
+    ]
+    eng = Engine(code_index, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
+    exact = [tuple(r) for r in eng.search(" ".join(terms), k).collect()]
+    assert pruned == exact
+    assert stats.seed_mode == "spark"
 
 
 def test_pruning_skips_blocks(spark, pidx):

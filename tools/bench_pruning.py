@@ -80,13 +80,41 @@ def build_or_reuse(spark, n_files: int, block_size: int, out: str) -> PackedInde
     return PackedIndex(spark, out)
 
 
-def median_wall(fn, reps: int) -> tuple[float, list]:
-    walls, last = [], None
+def executor_run_ms(spark) -> int:
+    """Total executor task run time over all completed stages (the Spark UI
+    REST API). Wall time at sandbox scale is dominated by the fixed per-job
+    floor (~0.8 s on local[32]); executor RUN time is the work a 1000-node
+    cluster actually parallelizes, so it is the 100 TB-relevant metric —
+    deltas around a run isolate that run's work."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _json.load(r)
+        return sum(s.get("executorRunTime", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def median_wall(fn, reps: int, spark=None) -> tuple[float, list, float]:
+    """(median wall sec, last result, median executor task-time sec)."""
+    walls, tasks, last = [], [], None
     for _ in range(reps):
+        t_before = executor_run_ms(spark) if spark else -1
         t0 = time.time()
         last = fn()
         walls.append(time.time() - t0)
-    return statistics.median(walls), last
+        if spark and t_before >= 0:
+            t_after = executor_run_ms(spark)
+            if t_after >= 0:
+                tasks.append((t_after - t_before) / 1000.0)
+    task_med = statistics.median(tasks) if tasks else -1.0
+    return statistics.median(walls), last, task_med
 
 
 def main() -> None:
@@ -99,7 +127,12 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/bursty_prune_idx")
     args = ap.parse_args()
 
-    spark = get_spark("bench_pruning", cores=args.cores)
+    # the UI is normally off (session.py); this tool needs its REST API for
+    # the executor task-time metric
+    spark = get_spark(
+        "bench_pruning", cores=args.cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     pidx = build_or_reuse(spark, args.n_files, args.block_size, args.out)
     eng = Engine(pidx, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
 
@@ -114,12 +147,14 @@ def main() -> None:
     for th in THEMES:
         q = theme_terms(th)[:3]
 
-        os.environ["SPARK_GRAFT_NO_PRUNE"] = "1"
-        exact_sec, exact_rows = median_wall(
-            lambda: [tuple(r) for r in eng.search(" ".join(q), args.k).collect()],
-            args.reps,
-        )
-        del os.environ["SPARK_GRAFT_NO_PRUNE"]
+        def run_exact():
+            os.environ["SPARK_GRAFT_NO_PRUNE"] = "1"
+            try:
+                return [
+                    tuple(r) for r in eng.search(" ".join(q), args.k).collect()
+                ]
+            finally:
+                del os.environ["SPARK_GRAFT_NO_PRUNE"]
 
         st = PruneStats()
 
@@ -131,7 +166,35 @@ def main() -> None:
                 for r in bm25_topk_pruned(pidx, q, k=args.k, stats=st).collect()
             ]
 
-        pruned_sec, pruned_rows = median_wall(run_pruned, args.reps)
+        # interleave reps (alternating order) so host-load drift during the
+        # theme hits both plans symmetrically instead of biasing whichever
+        # runs second
+        ew, et, pw, pt = [], [], [], []
+        exact_rows = pruned_rows = None
+        for rep in range(args.reps):
+            runs = [("e", run_exact), ("p", run_pruned)]
+            if rep % 2:
+                runs.reverse()
+            for tag, fn in runs:
+                t_before = executor_run_ms(spark)
+                t0 = time.time()
+                res = fn()
+                wall = time.time() - t0
+                task = (
+                    (executor_run_ms(spark) - t_before) / 1000.0
+                    if t_before >= 0
+                    else -1.0
+                )
+                if tag == "e":
+                    exact_rows = res
+                    ew.append(wall)
+                    et.append(task)
+                else:
+                    pruned_rows = res
+                    pw.append(wall)
+                    pt.append(task)
+        exact_sec, exact_task = statistics.median(ew), statistics.median(et)
+        pruned_sec, pruned_task = statistics.median(pw), statistics.median(pt)
 
         identical = exact_rows == pruned_rows
         row = {
@@ -146,6 +209,8 @@ def main() -> None:
             "theta": round(st.theta, 3),
             "exact_sec": round(exact_sec, 3),
             "pruned_sec": round(pruned_sec, 3),
+            "exact_task_sec": round(exact_task, 3),
+            "pruned_task_sec": round(pruned_task, 3),
         }
         rows.append(row)
         print(json.dumps(row))
@@ -170,6 +235,12 @@ def main() -> None:
         ),
         "exact_sec_median": round(statistics.median([r["exact_sec"] for r in rows]), 3),
         "pruned_sec_median": round(statistics.median([r["pruned_sec"] for r in rows]), 3),
+        "exact_task_sec_median": round(
+            statistics.median([r["exact_task_sec"] for r in rows]), 3
+        ),
+        "pruned_task_sec_median": round(
+            statistics.median([r["pruned_task_sec"] for r in rows]), 3
+        ),
     }
     print(json.dumps(summary))
 
