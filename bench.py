@@ -84,11 +84,21 @@ def main() -> None:
     # report steady state.
     queries["bm25_sum_topk"](spark, sf_dir).collect()
 
+    # median of 3 per query (r03 verdict item 8: single-shot rows caught
+    # host-noise windows and read as regressions — five queries resampled
+    # n=5 on a quiet host all sat at or below their r02 values; medians
+    # make the recorded row robust to that). rep 1 of a query still pays
+    # its plan's codegen; the median absorbs it.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            queries[name](spark, sf_dir).collect()
+            walls.append(time.time() - t0)
+        walls.sort()
+        timings[name] = round(walls[len(walls) // 2], 3)
 
     # block-max pruning evidence: force the pruned path (the sf0.1 index is
     # below the default 64-block gate) and record skip ratio + identity
@@ -101,10 +111,14 @@ def main() -> None:
     ).collect()
     pruned_sec = round(time.time() - t0, 3)
 
-    total = time.time() - t_start
+    # value stays comparable across rounds: build + ONE representative pass
+    # over the headline set (per-query medians) + the pruning-evidence run —
+    # not the raw multi-rep wall, which would triple with query_reps
+    total = build_sec + sum(timings.values()) + pruned_sec
     out = {
         "metric": "index_build_plus_headline_queries",
         "value": round(total, 3),
+        "wall_all_reps_sec": round(time.time() - t_start, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -117,6 +131,8 @@ def main() -> None:
         "bm25_pruned_blocks_scanned": st.n_blocks_scanned,
         "bm25_pruned_blocks_total": st.n_blocks_total,
         "bm25_pruned_rows": len(pruned_rows),
+        "query_reps": reps,
+        "per_query_stat": "median",
         "cpus": cpus,
     }
     print(json.dumps(out))
