@@ -50,6 +50,7 @@ HEADLINE = [
     "indri_wsum_mf_topk",
     "field_bm25_topk",
     "bm25_batch_topk",
+    "indri_batch_topk",
     "prf_term_weights",
     "letor_rerank_topk",
     "prospective_match",

@@ -139,29 +139,32 @@ def _indri_default_sql(term: str) -> str:
     )
 
 
-def _indri_join_sql(terms: list[str]) -> str:
+def _indri_join_sql(terms: list[str], sfx: str = "") -> str:
     """cands (union of term postings) LEFT JOIN per-term actual scores,
-    coalesced with default scores — the full-outer Indri combine."""
+    coalesced with default scores — the full-outer Indri combine. ``sfx``
+    suffixes every CTE name so several instances can share one WITH clause
+    (the batch oracle unions one instance per qid)."""
     ctes = [
-        f"""s{i} AS (
+        f"""s{i}{sfx} AS (
   SELECT t.doc_id, {_indri_term_score_sql(t_)} AS s
   FROM tfs t JOIN dl l USING (doc_id) CROSS JOIN consts c
   WHERE t.term = '{t_}'
 )"""
         for i, t_ in enumerate(terms)
     ]
-    cands = f"cands AS (SELECT DISTINCT doc_id FROM tfs WHERE term IN {_sql_in(terms)})"
+    cands = f"cands{sfx} AS (SELECT DISTINCT doc_id FROM tfs WHERE term IN {_sql_in(terms)})"
     joins = "\n  ".join(
-        f"LEFT JOIN s{i} ON s{i}.doc_id = cands.doc_id" for i in range(len(terms))
+        f"LEFT JOIN s{i}{sfx} ON s{i}{sfx}.doc_id = cands{sfx}.doc_id"
+        for i in range(len(terms))
     )
     cols = ", ".join(
-        f"coalesce(s{i}.s, {_indri_default_sql(t_)}) AS c{i}"
+        f"coalesce(s{i}{sfx}.s, {_indri_default_sql(t_)}) AS c{i}"
         for i, t_ in enumerate(terms)
     )
-    per = f"""per AS (
-  SELECT cands.doc_id, {cols}
-  FROM cands
-  JOIN dl l ON l.doc_id = cands.doc_id
+    per = f"""per{sfx} AS (
+  SELECT cands{sfx}.doc_id, {cols}
+  FROM cands{sfx}
+  JOIN dl l ON l.doc_id = cands{sfx}.doc_id
   CROSS JOIN consts c
   {joins}
 )"""
@@ -879,6 +882,76 @@ def _wsum_sql(spec, k: int) -> str:
 
 
 _register("indri_wsum_topk", _q_indri_wsum_topk, _wsum_sql(_WSUM_SPEC, 100))
+
+
+# -- batched Indri execution (engine/batch.py, VERDICT r03 item 7) ------------
+# the Indri full-outer-with-defaults combines as ONE job for a whole query
+# file: one union postings scan, broadcast (qid, ci, term) fan-out, ONE
+# (qid, docid) aggregation into a tf-map, per-qid combine via higher-order
+# F.aggregate over a broadcast constants array. Bitwise ≡ per-query
+# Engine.search (tests/test_batch.py::test_indri_batch_matches_per_query).
+
+INDRI_BATCH_QUERY_SET = [
+    ("i1", "spark query table", ("and", None, ["spark", "query", "table"])),
+    ("i2", "#WAND(0.7 spark 0.2 query 0.1 dup)",
+     ("wand", [0.7, 0.2, 0.1], ["spark", "query", "dup"])),
+    ("i3", "#WSUM(0.5 spark 0.3 query 0.2 table)",
+     ("wsum", [0.5, 0.3, 0.2], ["spark", "query", "table"])),
+    ("i4", "dup dup table", ("and", None, ["dup", "dup", "table"])),
+]
+
+
+def _q_indri_batch_topk(spark, sf_dir):
+    from search_engine_spark.engine.batch import batch_topk
+
+    eng = _engine(spark, sf_dir, INDRI)
+    qs = [(qid, text) for qid, text, _ in INDRI_BATCH_QUERY_SET]
+    return batch_topk(eng, qs, 100).select(
+        "qid", "rank", F.col("docid").cast("long").alias("docid"),
+        # pow-based scores: f32-round the REPORTED value on both sides
+        # (JVM Math.pow vs DuckDB libm pow differ by 1 ulp; ranking is exact)
+        F.col("score").cast("float").cast("double").alias("score"),
+    )
+
+
+def _indri_batch_sql(k: int) -> str:
+    parts, sels = [], []
+    for j, (qid, _, (kind, weights, terms)) in enumerate(INDRI_BATCH_QUERY_SET):
+        sfx = f"_b{j}"
+        parts.append(_indri_join_sql(terms, sfx))
+        if kind == "and":
+            prod = " * ".join(f"c{i}" for i in range(len(terms)))
+            expr = f"pow({prod}, (1.0 / {len(terms)}))"
+        elif kind == "wand":
+            W = sum(weights)
+            expr = "1.0"
+            for i, w in enumerate(weights):
+                expr = f"{expr} * pow(c{i}, {w / W!r})"
+        else:
+            W = sum(weights)
+            expr = "0.0"
+            for i, w in enumerate(weights):
+                expr = f"{expr} + c{i} * {w / W!r}"
+        sels.append(
+            f"SELECT '{qid}' AS qid, doc_id, {expr} AS score FROM per{sfx}"
+        )
+    return (
+        SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + ",\nallq AS (\n  "
+        + "\n  UNION ALL ".join(sels)
+        + f"""),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id AS docid, CAST(CAST(score AS REAL) AS DOUBLE) AS score
+  FROM allq)
+SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
+    )
+
+
+_register("indri_batch_topk", _q_indri_batch_topk, _indri_batch_sql(100))
 
 
 # -- multi-field Indri #WSUM ---------------------------------------------------

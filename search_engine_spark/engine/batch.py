@@ -34,19 +34,33 @@ headline):
    (desc score, asc ext_docid) row_number cut per qid — the W1 tie-break
    contract (hw5/QryEval/ScoreList.java:65-86).
 
+Indri batch (``indri_batch_scores``) extends the same one-scan/one-shuffle
+shape to the Indri full-outer-with-defaults combines (#AND geo-mean, #WAND,
+#WSUM over term leaves — QryopSlIndriAnd.java:33-82, QryopSlWand.java:55-125,
+QryopSlWsum.java:56-135). The per-query pivot trick of
+ops._indri_pivot_scores can't pivot to fixed columns here (child count
+varies per query), so the aggregate instead builds a per-(qid, docid)
+``map<child_index, tf>`` and the combine runs POST-agg as a higher-order
+``F.aggregate`` over a broadcast per-qid constants array ordered by child
+index — JVM-side, no UDF, and the fold preserves the reference's
+child-order float arithmetic exactly (1.0*x and pow(x, 1.0) are IEEE-exact
+identities, so seeding the fold with 1.0 keeps bit-identity with the
+reduce-over-columns single-query combine).
+
 Per-query results are bitwise-identical to ``Engine.search`` on the same
 index (tests/test_batch.py asserts it query-by-query, both backends).
 """
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from search_engine_spark.config import BM25, TOP_K
-from search_engine_spark.engine.compiler import _leaf_score_col
+from search_engine_spark.config import BM25, INDRI, TOP_K
+from search_engine_spark.engine.compiler import _leaf_score_col, compile_node
 from search_engine_spark.engine.runner import Engine
 
 # salt fan-out of the partial top-k stage: bounds the per-task row count of
@@ -92,6 +106,148 @@ def batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     )
 
 
+def _indri_query_spec(
+    eng: Engine, qid: str, text: str
+) -> tuple[str, list[float] | None, list[tuple[str, str]]]:
+    """Parse + compile one Indri query; return (kind, weights, [(term, field)])
+    for the flat shapes the batch path covers — #AND / #WAND / #WSUM whose
+    children are all #SCORE(term-leaf) — else raise. Going through the real
+    parser/compiler inherits every parsing quirk (model-default wrap,
+    single-child unwrap, stopword weight popping) instead of re-deriving it."""
+    from search_engine_spark.engine.ops import (
+        IlNode, IndriAndNode, ScoreNode, TermNode, WandNode, WsumNode,
+    )
+
+    node = compile_node(eng.parse(text), eng.ctx, eng.default_field)
+    if isinstance(node, IlNode):
+        node = ScoreNode(node)
+    if isinstance(node, ScoreNode):
+        kind, weights, children = "and", None, [node]
+    elif isinstance(node, IndriAndNode):
+        kind, weights, children = "and", None, node.children
+    elif isinstance(node, WandNode):
+        kind, weights, children = "wand", node.weights, node.children
+    elif isinstance(node, WsumNode):
+        kind, weights, children = "wsum", node.weights, node.children
+    else:
+        raise ValueError(
+            f"query {qid!r} compiles to {type(node).__name__} — Indri batch "
+            "covers flat #AND/#WAND/#WSUM"
+        )
+    for c in children:
+        if not (isinstance(c, ScoreNode) and isinstance(c.child, TermNode)):
+            raise ValueError(
+                f"query {qid!r} has a structured child — Indri batch covers "
+                "flat term-leaf shapes"
+            )
+    return kind, weights, [(c.child.term, c.child.field) for c in children]
+
+
+def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
+    """[(qid, text)] -> (qid, docid, score) for flat Indri #AND/#WAND/#WSUM.
+
+    One union postings scan + broadcast (qid, ci, term) fan-out + ONE
+    (qid, docid) aggregation; the candidate key set per qid is the union of
+    its children's posting lists (a group exists iff >=1 leaf matched), and
+    missing children take their default score post-agg — see module
+    docstring. All leaves across the batch must share one field (the
+    per-field corpus length is a plan constant; mixed-field queries take the
+    per-query ``_indri_pivot_scores_mf`` path instead)."""
+    from search_engine_spark.engine import score as score_mod
+
+    if eng.model.name != INDRI:
+        raise ValueError("indri_batch_scores requires the Indri model")
+    spark = eng.index.doc_ids.sparkSession
+    specs = {qid: _indri_query_spec(eng, qid, text) for qid, text in queries}
+    fields = {f for _, _, leaves in specs.values() for _, f in leaves}
+    if not fields:
+        return spark.createDataFrame([], "qid string, docid long, score double")
+    if len(fields) != 1:
+        raise ValueError(
+            f"Indri batch requires a single field across the batch, got "
+            f"{sorted(fields)} — run mixed-field queries per-query"
+        )
+    fld = fields.pop()
+    c_len = eng.index.corpus.sum_doclen(fld)
+    p = eng.model.indri
+    eng.ctx.prefetch_terms({(t, f) for _, _, lv in specs.values() for t, f in lv})
+
+    # broadcast dimensions: (qid, ci, term) leaf fan-out + per-qid constants
+    # array ordered by child index (ctf constant-folds into the score
+    # expression on the single-query path; here it rides the tiny array)
+    qleaf, qmeta = [], []
+    for qid, (kind, weights, leaves) in specs.items():
+        if not leaves:  # all children stopword-popped: no candidates, no rows
+            continue
+        W = float(sum(weights)) if weights is not None else 0.0
+        arr = []
+        for ci, (t, f) in enumerate(leaves):
+            qleaf.append((qid, ci, t))
+            w = (
+                (weights[ci] / W if W != 0 else math.nan)
+                if weights is not None
+                else 0.0
+            )
+            _, ctf = eng.ctx.term_stat(t, f)
+            arr.append((ci, float(ctf), w))
+        # '#AND' geo-mean exponent, python-derived like the single-query
+        # F.lit(1.0 / len(children)) so Math.pow sees an identical double
+        qmeta.append((qid, kind, 1.0 / len(leaves), arr))
+
+    pairs = sorted({(t, fld) for _, _, lv in specs.values() for t, _ in lv})
+    scan = eng.ctx.index.postings_for(pairs)
+    qleaf_df = spark.createDataFrame(qleaf, "qid string, ci int, term string")
+    qmeta_df = spark.createDataFrame(
+        qmeta,
+        "qid string, _kind string, _exp double, "
+        "_arr array<struct<ci:int, ctf:double, w:double>>",
+    )
+
+    grouped = (
+        scan.select("term", "docid", "tf", "doclen")
+        .join(F.broadcast(qleaf_df), "term")
+        .groupBy("qid", "docid")
+        .agg(
+            F.collect_list(F.struct("ci", "tf")).alias("_ents"),
+            F.max("doclen").alias("_dl"),
+        )
+        .select(
+            "qid", "docid",
+            F.map_from_entries("_ents").alias("_tfmap"), "_dl",
+        )
+        .join(F.broadcast(qmeta_df), "qid")
+    )
+
+    def _s(x):
+        # per-child score: actual if this doc had the term, default otherwise
+        # — the same score_mod expressions the single-query pivot emits
+        tf = F.element_at(F.col("_tfmap"), x["ci"])
+        actual = score_mod.indri_score(
+            ctf=x["ctf"], c_len=c_len, p=p, tf=tf, doclen=F.col("_dl")
+        )
+        default = score_mod.indri_default_score(
+            ctf=x["ctf"], c_len=c_len, p=p, doclen=F.col("_dl")
+        )
+        return F.when(tf.isNotNull(), actual).otherwise(default)
+
+    arr = F.col("_arr")
+    and_score = F.pow(
+        F.aggregate(arr, F.lit(1.0), lambda acc, x: acc * _s(x)), F.col("_exp")
+    )
+    wand_score = F.aggregate(
+        arr, F.lit(1.0), lambda acc, x: acc * F.pow(_s(x), x["w"])
+    )
+    wsum_score = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + _s(x) * x["w"]
+    )
+    score = (
+        F.when(F.col("_kind") == "and", and_score)
+        .when(F.col("_kind") == "wand", wand_score)
+        .otherwise(wsum_score)
+    )
+    return grouped.select("qid", "docid", score.alias("score"))
+
+
 def batch_topk(
     eng: Engine, queries: list[tuple[str, str]], k: int = TOP_K,
     salt_buckets: int = _SALT_BUCKETS,
@@ -101,9 +257,13 @@ def batch_topk(
     Rank-identical to per-query ``Engine.search`` (same score expression,
     same desc-score/asc-ext-id tie-break); queries with no matching term
     simply have no rows (the TREC dummy row is the sink's job,
-    topk.trec_lines).
+    topk.trec_lines). Dispatches on the engine's model: flat BM25 #SUM or
+    flat Indri #AND/#WAND/#WSUM.
     """
-    scores = batch_scores(eng, queries)
+    if eng.model.name == INDRI:
+        scores = indri_batch_scores(eng, queries)
+    else:
+        scores = batch_scores(eng, queries)
     # stage 1 — salted partial cut: rank() keeps boundary ties (their final
     # order needs ext ids), every (qid, salt) group cuts to <= k + ties
     salt = F.pmod(F.xxhash64(F.col("docid")), F.lit(salt_buckets))

@@ -69,10 +69,54 @@ def test_batch_salt_invariance(code_index):
     assert a == b
 
 
-def test_batch_rejects_structured_and_non_bm25(code_index):
+def test_batch_rejects_structured(code_index):
     eng = _eng(code_index)
     with pytest.raises(ValueError, match="structured"):
         batch_topk(eng, [("q1", "#AND(lock queue)")], K)
-    ind = Engine(code_index, ModelConfig(name=INDRI), tokenizer=CODE_TOKENIZER)
-    with pytest.raises(ValueError, match="BM25"):
-        batch_topk(ind, [("q1", "lock queue")], K)
+    ind = _ind(code_index)
+    with pytest.raises(ValueError, match="structured child"):
+        batch_topk(ind, [("q1", "#AND(lock #NEAR/2(ring buffer))")], K)
+    with pytest.raises(ValueError, match="flat"):
+        batch_topk(ind, [("q1", "#WSUM(0.5 lock 0.5 #AND(ring buffer))")], K)
+
+
+# -- Indri batch --------------------------------------------------------------
+
+INDRI_BATCH = [
+    ("i1", "lock free queue"),                      # implicit #AND geo-mean
+    ("i2", "#WAND(0.7 lock 0.2 queue 0.1 slot)"),   # weighted geo-mean
+    ("i3", "#WSUM(0.5 ring 0.3 buffer 0.2 slot)"),  # weighted mean
+    ("i4", "lock lock queue"),                      # duplicate-term children
+    ("i5", "token_next"),                           # single term: pow(s, 1/1)
+    ("i6", "zzz_not_in_vocab_zzz lock"),            # absent term -> ctf 0
+    ("i7", "zzz_not_in_vocab_zzz"),                 # no match -> no rows
+]
+
+
+def _ind(code_index):
+    return Engine(code_index, ModelConfig(name=INDRI), tokenizer=CODE_TOKENIZER)
+
+
+def test_indri_batch_matches_per_query(code_index):
+    eng = _ind(code_index)
+    got = _by_qid(batch_topk(eng, INDRI_BATCH, K))
+    assert "i7" not in got
+    for qid, text in INDRI_BATCH:
+        want = [
+            (r["rank"], r["docid"], r["ext_docid"], r["score"])
+            for r in eng.search(text, K).collect()
+        ]
+        assert got.get(qid, []) == want, f"{qid} diverges from Engine.search"
+
+
+def test_indri_batch_salt_invariance(code_index):
+    eng = _ind(code_index)
+    a = _by_qid(batch_topk(eng, INDRI_BATCH[:4], K, salt_buckets=1))
+    b = _by_qid(batch_topk(eng, INDRI_BATCH[:4], K, salt_buckets=64))
+    assert a == b
+
+
+def test_indri_batch_rejects_mixed_fields(code_index):
+    eng = _ind(code_index)
+    with pytest.raises(ValueError, match="single field"):
+        batch_topk(eng, [("q1", "lock.path queue")], K)
