@@ -58,7 +58,7 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from search_engine_spark.config import BM25Params
+from search_engine_spark.config import BM25Params, IndriParams
 from search_engine_spark.engine.topk import rank_topk
 from search_engine_spark.index.persist import META_COLS, PackedIndex, _side_manifest
 
@@ -545,3 +545,362 @@ def bm25_topk_pruned(
         frames.append(score_ranges(survivors))
     allscores = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
     return rank_topk(allscores, pidx.doc_ids, k, n_docs=n_docs)
+
+
+# --------------------------------------------------------------------------
+# weighted Indri pruning: MaxScore-style block-max for #AND / #WAND / #WSUM
+# --------------------------------------------------------------------------
+#
+# The Indri combines are FULL-OUTER: every doc in the union of the children's
+# posting lists is a candidate, and a child missing from a doc contributes
+# its default score (a function of the doc's length only). Both score paths
+# are monotone — the actual score increases in tf and decreases in doclen,
+# the default decreases in doclen — and every combine (#AND geo-mean, #WAND
+# product-of-pows, #WSUM weighted mean) is monotone increasing in each child
+# for non-negative weights. So a range-level upper bound exists:
+#
+#   bound_i(R) = max( max_{blocks of i overlapping R} ub_actual(block),
+#                     default_i(min doclen over ALL blocks overlapping R) )
+#   UB(R)      = combine(bound_1(R), ..., bound_k(R)) * (1 + 2^-20)
+#
+# valid for every candidate doc in R: a doc is in R only via >=1 overlapping
+# block, so its doclen >= that range's min block doclen, and each child
+# contribution is <= bound_i(R) whether actual or default. The final guard
+# absorbs pow()-ulp differences between the driver's libm and the JVM's.
+#
+# Same two-phase flow as BM25 above: driver-seeded theta (numpy full-outer
+# over the seed ranges' blocks, slack-deflated), survivors = UB >= theta,
+# ONE distributed job whose scores come from the canonical pivot expressions
+# (ops._indri_pivot_scores' exact arithmetic), so output identity never
+# depends on driver code. Blocks straddling a pruned range contribute
+# PARTIAL rows for that range's docs — harmless: their computed score is
+# also <= UB(range) < theta (each present child <= its block ub, each
+# missing child's default <= the range default bound), strictly below every
+# true top-k doc.
+#
+# Fallbacks (return None -> the caller runs the exact plan): any query term
+# absent from the index (the degenerate all-zero #AND/#WAND case and the
+# W-normalization subtlety aren't worth modeling), non-positive total
+# weight, any negative weight (monotonicity breaks), duplicate terms
+# (the term-keyed pivot can't split them), or no driver-side dataset.
+
+
+def _indri_mle(ctf: int, c_len: int) -> float:
+    return ctf / float(c_len)
+
+
+def _indri_block_ub(max_tf: int, min_doclen: int, mle: float, p: IndriParams) -> float:
+    """Upper bound on the f32-cast actual score of any posting in the block
+    (increasing in tf, decreasing in doclen — QryopSlScore.java:164-167)."""
+    s = (1.0 - p.lam) * (max_tf + p.mu * mle) / (min_doclen + p.mu) + p.lam * mle
+    return s * _F32_GUARD
+
+
+def _indri_default_ub(min_doclen: int, mle: float, p: IndriParams) -> float:
+    """Default score at the smallest doclen a candidate in the range can
+    have (the default path is NOT f32-cast — QryopSlScore.java:195)."""
+    return (1.0 - p.lam) * (p.mu * mle) / (min_doclen + p.mu) + p.lam * mle
+
+
+def _indri_combine_ub(kind: str, weights: list | None, bounds: list[float]) -> float:
+    if kind == "wsum":
+        W = sum(weights)
+        return sum(b * (w / W) for w, b in zip(weights, bounds)) * _F32_GUARD
+    if kind == "wand":
+        W = sum(weights)
+        out = 1.0
+        for w, b in zip(weights, bounds):
+            out *= b ** (w / W)
+        return out * _F32_GUARD
+    prod = 1.0
+    for b in bounds:
+        prod *= b
+    return prod ** (1.0 / len(bounds)) * _F32_GUARD
+
+
+def _indri_seed_scores_driver(
+    dset,
+    keys: set,
+    fld: str,
+    terms: list[str],
+    mle: dict,
+    p: IndriParams,
+    kind: str,
+    weights: list | None,
+    seed_ranges: list[tuple[int, int]],
+    tombs: np.ndarray | None,
+) -> np.ndarray:
+    """Full-outer Indri scores for every candidate doc inside the seed
+    ranges — numpy mirror of the pivot expressions (per-child f32 round-trip
+    on the actual path, raw-double defaults, combined in child order).
+    Exists only to produce theta; ulp drift vs the JVM is absorbed by
+    _THETA_SLACK."""
+    import pyarrow.compute as pc
+
+    from search_engine_spark.index.codec import decode_block
+
+    bids = sorted({b for _, _, b in keys})
+    tbl = dset.to_table(
+        columns=["term", "salt", "block_id", "n", "docids", "tfs", "doclens"],
+        filter=(
+            (pc.field("field") == fld)
+            & pc.field("term").isin(terms)
+            & pc.field("block_id").isin(bids)
+        ),
+    )
+    rng = sorted(seed_ranges)
+    starts = np.array([lo for lo, _ in rng], dtype=np.int64)
+    ends = np.array([hi for _, hi in rng], dtype=np.int64)
+    cols = tbl.to_pydict()
+    per_term: dict[str, list] = {t: [] for t in terms}
+    for term, salt, bid, n, db, tb, lb in zip(
+        cols["term"], cols["salt"], cols["block_id"], cols["n"],
+        cols["docids"], cols["tfs"], cols["doclens"],
+    ):
+        if (term, salt, bid) not in keys:
+            continue
+        d, t, L = decode_block({"n": n, "docids": db, "tfs": tb, "doclens": lb})
+        j = np.searchsorted(starts, d, side="right") - 1
+        m = (j >= 0) & (d <= ends[np.clip(j, 0, len(ends) - 1)])
+        if tombs is not None and tombs.size:
+            ti = np.searchsorted(tombs, d)
+            m &= ~((ti < tombs.size) & (tombs[np.clip(ti, 0, tombs.size - 1)] == d))
+        if m.any():
+            per_term[term].append((d[m], t[m], L[m]))
+
+    all_d = [d for parts in per_term.values() for d, _, _ in parts]
+    if not all_d:
+        return np.array([], dtype=np.float64)
+    uid = np.unique(np.concatenate(all_d))
+    dl = np.zeros(len(uid), dtype=np.float64)
+    for parts in per_term.values():
+        for d, _, L in parts:
+            dl[np.searchsorted(uid, d)] = L
+    child_scores = []
+    for t in terms:  # child order == term order (distinct-term gate)
+        m = mle[t]
+        s = (1.0 - p.lam) * (p.mu * m) / (dl + p.mu) + p.lam * m  # defaults
+        for d, tf, _ in per_term[t]:
+            idx = np.searchsorted(uid, d)
+            a = (
+                (1.0 - p.lam) * ((tf.astype(np.float64) + p.mu * m) / (dl[idx] + p.mu))
+                + p.lam * m
+            )
+            s[idx] = a.astype(np.float32).astype(np.float64)
+        child_scores.append(s)
+    if kind == "wsum":
+        W = sum(weights)
+        tot = np.zeros(len(uid), dtype=np.float64)
+        for w, s in zip(weights, child_scores):
+            tot += s * (w / W)
+        return tot
+    if kind == "wand":
+        W = sum(weights)
+        tot = np.ones(len(uid), dtype=np.float64)
+        for w, s in zip(weights, child_scores):
+            tot *= s ** (w / W)
+        return tot
+    prod = np.ones(len(uid), dtype=np.float64)
+    for s in child_scores:
+        prod *= s
+    return prod ** (1.0 / len(child_scores))
+
+
+def indri_topk_pruned(
+    pidx: PackedIndex,
+    kind: str,
+    terms: list[str],
+    weights: list | None = None,
+    k: int = 100,
+    fld: str = "body",
+    p: IndriParams | None = None,
+    stats: PruneStats | None = None,
+) -> DataFrame | None:
+    """Exact Indri #AND/#WAND/#WSUM top-k with block-max pruning; bitwise
+    the exact pivot plan's output. Returns None when the shape falls outside
+    the pruned path's contract (caller runs the exact plan)."""
+    from search_engine_spark.engine import score as score_mod
+
+    p = p or IndriParams()
+    st = stats if stats is not None else PruneStats()
+    spark = pidx.spark
+    n_docs = pidx.corpus.n_docs
+    c_len = pidx.corpus.sum_doclen(fld)
+
+    if kind not in ("and", "wand", "wsum"):
+        return None
+    if len(set(terms)) != len(terms) or not terms:
+        return None
+    if kind in ("wand", "wsum"):
+        if weights is None or len(weights) != len(terms):
+            return None
+        if any(w < 0 for w in weights) or sum(weights) <= 0:
+            return None
+
+    if os.environ.get("SPARK_GRAFT_PRUNE_SPARK_SEED") == "1":
+        return None  # the Indri path has no Spark-seed twin; exact plan
+    try:
+        dset = _packed_dataset(pidx)
+        trows = _term_stats_driver(pidx, terms, fld)
+    except Exception:
+        return None
+    if dset is None or any(t not in trows for t in terms):
+        return None  # absent term: degenerate zero-score combines — exact plan
+
+    mle = {t: _indri_mle(trows[t][1], c_len) for t in terms}
+
+    # ---- block metadata + per-range upper bounds --------------------------
+    try:
+        meta = _meta_driver(pidx, dset, terms, fld)
+        tombs = _tombstones_driver(pidx)
+    except Exception:
+        return None
+    st.n_blocks_total = len(meta)
+    blocks: dict[str, list] = {t: [] for t in terms}
+    for r in meta:
+        ub = _indri_block_ub(r["max_tf"], r["min_doclen"], mle[r["term"]], p)
+        blocks[r["term"]].append(
+            (r["min_docid"], r["max_docid"], r["salt"], r["block_id"], ub,
+             r["min_doclen"])
+        )
+
+    cuts = sorted(
+        {b[0] for bl in blocks.values() for b in bl}
+        | {b[1] + 1 for bl in blocks.values() for b in bl}
+    )
+    ranges = list(zip(cuts[:-1], [c - 1 for c in cuts[1:]]))
+    st.n_ranges_total = len(ranges)
+
+    range_ub: list[float] = []
+    per_range_blocks: list[list] = []
+    for lo, hi in ranges:
+        rb = []
+        best = {t: 0.0 for t in terms}
+        min_dl = None
+        for t in terms:
+            for b in blocks[t]:
+                if b[0] <= hi and b[1] >= lo:
+                    best[t] = max(best[t], b[4])
+                    min_dl = b[5] if min_dl is None else min(min_dl, b[5])
+                    rb.append((t, b[2], b[3]))
+        if not rb:  # gap range: no overlapping block, no candidate docs
+            range_ub.append(-math.inf)
+            per_range_blocks.append(rb)
+            continue
+        bounds = [
+            max(best[t], _indri_default_ub(min_dl, mle[t], p)) for t in terms
+        ]
+        range_ub.append(_indri_combine_ub(kind, weights, bounds))
+        per_range_blocks.append(rb)
+
+    # ---- seed walk (same policy as the BM25 path) --------------------------
+    order = sorted(range(len(ranges)), key=lambda i: -range_ub[i])
+    block_n = {(r["term"], r["salt"], r["block_id"]): r["n"] for r in meta}
+    term_posts: dict[str, int] = {}
+    counted: set = set()
+    pos = 0
+
+    def take_ranges(min_ranges: int, until_k_posts: bool = False) -> list[int]:
+        nonlocal pos
+        batch: list[int] = []
+        while pos < len(order) and (
+            len(batch) < min_ranges or (until_k_posts and not counted_enough())
+        ):
+            i = order[pos]
+            pos += 1
+            batch.append(i)
+            for key in per_range_blocks[i]:
+                if key not in counted:
+                    counted.add(key)
+                    term_posts[key[0]] = term_posts.get(key[0], 0) + block_n[key]
+        return batch
+
+    seed_target = max(2 * k, 2 * max(block_n.values())) if block_n else 2 * k
+
+    def counted_enough() -> bool:
+        return bool(term_posts) and max(term_posts.values()) >= seed_target
+
+    seed = take_ranges(4, until_k_posts=True)
+    try:
+        while True:
+            seed_keys = {key for i in seed for key in per_range_blocks[i]}
+            tot = _indri_seed_scores_driver(
+                dset, seed_keys, fld, terms, mle, p, kind, weights,
+                [ranges[i] for i in seed], tombs,
+            )
+            if len(tot) >= k or pos >= len(order):
+                break
+            seed.extend(take_ranges(max(16, len(seed))))
+    except Exception:
+        return None
+    theta = (
+        float(np.partition(tot, len(tot) - k)[len(tot) - k]) * _THETA_SLACK
+        if len(tot) >= k
+        else -math.inf
+    )
+    st.theta = theta
+    st.seed_mode = "driver"
+    st.n_seed_blocks = len(seed_keys)
+
+    seeded = set(seed)
+    survivors = [
+        i for i in range(len(ranges)) if i not in seeded and range_ub[i] >= theta
+    ]
+    final_idx = seed + survivors
+    st.n_ranges_scanned = len(final_idx)
+    keys = sorted({key for i in final_idx for key in per_range_blocks[i]})
+    st.n_blocks_scanned = len(keys)
+
+    # ---- ONE distributed job: canonical pivot over the surviving blocks ---
+    est_posts = sum(block_n[key] for key in keys)
+    n_tasks = min(
+        spark.sparkContext.defaultParallelism,
+        max(8, -(-est_posts // 250_000)),
+    )
+    pairs = [(t, fld) for t in terms]
+    if len(keys) <= 100_000:
+        posts = pidx.postings_for(
+            pairs, block_keys=[(t, fld, s, b) for t, s, b in keys],
+            coalesce_to=n_tasks,
+        )
+    else:
+        bf = spark.createDataFrame(
+            [(t, fld, s, b) for t, s, b in keys],
+            "term string, field string, salt int, block_id int",
+        )
+        posts = pidx.postings_for(pairs, block_filter=bf, coalesce_to=n_tasks)
+
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("tf").cast("int"))).alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = posts.groupBy("docid").agg(*aggs, F.max("doclen").alias("doclen"))
+    cols = []
+    for i, t in enumerate(terms):
+        tf_col = F.col(f"_tf{i}")
+        actual = score_mod.indri_score(
+            ctf=trows[t][1], c_len=c_len, p=p, tf=tf_col, doclen=F.col("doclen")
+        )
+        default = score_mod.indri_default_score(
+            ctf=trows[t][1], c_len=c_len, p=p, doclen=F.col("doclen")
+        )
+        cols.append(F.when(tf_col.isNotNull(), actual).otherwise(default))
+    # combines replicate ops.IndriAndNode/WandNode/WsumNode._combine exactly
+    if kind == "wsum":
+        W = sum(weights)
+        score = F.lit(0.0)
+        for c, w in zip(cols, weights):
+            score = score + c * F.lit(w / W if W != 0 else math.nan)
+    elif kind == "wand":
+        W = sum(weights)
+        score = F.lit(1.0)
+        for c, w in zip(cols, weights):
+            score = score * F.pow(c, F.lit(w / W if W != 0 else math.nan))
+    else:
+        from functools import reduce as _reduce
+
+        score = F.pow(
+            _reduce(lambda a, b: a * b, cols), F.lit(1.0 / len(cols))
+        )
+    scores = base.select("docid", score.alias("score"))
+    return rank_topk(scores, pidx.doc_ids, k, n_docs=n_docs)

@@ -87,11 +87,11 @@ class Engine:
         ``SPARK_GRAFT_PRUNE_MIN_BLOCKS`` overrides the gate."""
         import os
 
-        from search_engine_spark.config import BM25
+        from search_engine_spark.config import BM25, INDRI
 
         if os.environ.get("SPARK_GRAFT_NO_PRUNE") == "1":
             return None
-        if self.model.name != BM25:
+        if self.model.name not in (BM25, INDRI):
             return None
         from search_engine_spark.index.persist import PackedIndex
 
@@ -99,20 +99,35 @@ class Engine:
             return None
         from search_engine_spark.engine.compiler import _flat_term_leaves
         from search_engine_spark.engine.ops import (
-            IlNode, ScoreNode, SumNode, TermNode,
+            IlNode, IndriAndNode, ScoreNode, SumNode, TermNode, WandNode,
+            WsumNode,
         )
 
         node = compile_node(self.parse(query), self.ctx, self.default_field)
         if isinstance(node, IlNode):
             node = ScoreNode(node)
-        if isinstance(node, ScoreNode) and isinstance(node.child, TermNode):
-            leaves = [node.child]
-        elif isinstance(node, SumNode):
+        kind, weights = None, None
+        if self.model.name == BM25:
+            if isinstance(node, ScoreNode) and isinstance(node.child, TermNode):
+                leaves = [node.child]
+            elif isinstance(node, SumNode):
+                leaves = _flat_term_leaves(node)
+                if leaves is None:
+                    return None
+            else:
+                return None
+        else:  # Indri: flat weighted shapes (engine/pruning.py MaxScore block)
+            if isinstance(node, IndriAndNode):
+                kind, children = "and", node.children
+            elif isinstance(node, WandNode):
+                kind, weights, children = "wand", node.weights, node.children
+            elif isinstance(node, WsumNode):
+                kind, weights, children = "wsum", node.weights, node.children
+            else:
+                return None
             leaves = _flat_term_leaves(node)
             if leaves is None:
                 return None
-        else:
-            return None
         terms = [l.term for l in leaves]
         fields = {l.field for l in leaves}
         if len(fields) != 1 or len(set(terms)) != len(terms):
@@ -130,12 +145,22 @@ class Engine:
             ):
                 return None
 
-        from search_engine_spark.engine.pruning import PruneStats, bm25_topk_pruned
+        from search_engine_spark.engine.pruning import (
+            PruneStats, bm25_topk_pruned, indri_topk_pruned,
+        )
 
         st = PruneStats()
-        res = bm25_topk_pruned(
-            self.index, terms, k=k, fld=fld, p=self.model.bm25, stats=st
-        )
+        if self.model.name == BM25:
+            res = bm25_topk_pruned(
+                self.index, terms, k=k, fld=fld, p=self.model.bm25, stats=st
+            )
+        else:
+            res = indri_topk_pruned(
+                self.index, kind, terms, weights, k=k, fld=fld,
+                p=self.model.indri, stats=st,
+            )
+            if res is None:  # outside the pruned contract: exact plan
+                return None
         self.last_prune_stats = st
         return res
 

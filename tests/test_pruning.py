@@ -117,3 +117,101 @@ def test_bursty_pruning_skips_and_is_identical(spark, bursty_pidx):
         if st.n_blocks_scanned < st.n_blocks_total:
             skipped_any = True
     assert skipped_any, "no theme query skipped a single block"
+
+
+# --------------------------------------------------------------------------
+# weighted Indri pruning (#AND / #WAND / #WSUM): engine/pruning.py MaxScore
+# --------------------------------------------------------------------------
+
+from search_engine_spark.config import INDRI  # noqa: E402
+from search_engine_spark.engine.pruning import indri_topk_pruned  # noqa: E402
+
+INDRI_QUERIES = [
+    ("and", None, ["lock", "free", "queue"]),
+    ("and", None, ["self", "lock"]),  # heavy salted term + selective term
+    ("wand", [0.7, 0.2, 0.1], ["lock", "queue", "slot"]),
+    ("wsum", [0.5, 0.3, 0.2], ["ring", "buffer", "slot"]),
+    ("wsum", [0.9, 0.1], ["rare_alpha", "lock"]),  # df=1 term dominates
+]
+
+
+def _indri_query_text(kind, weights, terms):
+    if kind == "and":
+        return " ".join(terms)  # Indri default wrap is #AND
+    body = " ".join(f"{w} {t}" for w, t in zip(weights, terms))
+    return f"#{kind.upper()}({body})"
+
+
+@pytest.mark.parametrize(
+    "kind,weights,terms", INDRI_QUERIES,
+    ids=[f"{k}-{'+'.join(t)}" for k, _, t in INDRI_QUERIES],
+)
+def test_indri_pruned_identical_to_exact(
+    spark, pidx, code_index, monkeypatch, kind, weights, terms
+):
+    k = 20
+    stats = PruneStats()
+    res = indri_topk_pruned(pidx, kind, terms, weights, k=k, stats=stats)
+    assert res is not None
+    pruned = [
+        (r["rank"], r["docid"], r["ext_docid"], r["score"])
+        for r in res.collect()
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_NO_PRUNE", "1")
+    eng = Engine(code_index, ModelConfig(name=INDRI), tokenizer=CODE_TOKENIZER)
+    exact = [
+        (r["rank"], r["docid"], r["ext_docid"], r["score"])
+        for r in eng.search(_indri_query_text(kind, weights, terms), k).collect()
+    ]
+    assert pruned == exact and pruned
+    assert stats.seed_mode == "driver"
+    assert stats.n_blocks_total > 0
+
+
+def test_indri_pruned_fallback_contract(spark, pidx):
+    from search_engine_spark.corpus import ABSENT_TERM
+
+    # absent term -> degenerate zero-score combine -> exact plan
+    assert indri_topk_pruned(pidx, "and", ["lock", ABSENT_TERM], k=5) is None
+    # duplicate terms -> term-keyed pivot can't split children
+    assert indri_topk_pruned(pidx, "and", ["lock", "lock"], k=5) is None
+    # negative / zero-total weights break UB monotonicity
+    assert indri_topk_pruned(pidx, "wand", ["lock", "queue"], [0.5, -0.1], k=5) is None
+    assert indri_topk_pruned(pidx, "wsum", ["lock", "queue"], [0.0, 0.0], k=5) is None
+
+
+def test_indri_engine_dispatch(spark, pidx, code_index, monkeypatch):
+    """Engine.search routes flat Indri shapes through the pruned plan past
+    the block gate, bitwise-identical to the exact pivot plan."""
+    monkeypatch.setenv("SPARK_GRAFT_PRUNE_MIN_BLOCKS", "1")
+    eng = Engine(pidx, ModelConfig(name=INDRI), tokenizer=CODE_TOKENIZER)
+    got = [tuple(r) for r in eng.search("#WAND(0.7 lock 0.2 queue 0.1 slot)", 15).collect()]
+    assert eng.last_prune_stats is not None
+    assert eng.last_prune_stats.seed_mode == "driver"
+    monkeypatch.setenv("SPARK_GRAFT_NO_PRUNE", "1")
+    exact_eng = Engine(code_index, ModelConfig(name=INDRI), tokenizer=CODE_TOKENIZER)
+    want = [tuple(r) for r in exact_eng.search("#WAND(0.7 lock 0.2 queue 0.1 slot)", 15).collect()]
+    assert got == want and got
+
+
+def test_indri_bursty_pruning_skips_and_is_identical(spark, bursty_pidx, monkeypatch):
+    """Same-theme weighted queries on the bursty corpus must skip blocks AND
+    stay bitwise the exact plan's."""
+    from search_engine_spark.corpus import theme_terms
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_PRUNE", "1")
+    eng = Engine(bursty_pidx, ModelConfig(name=INDRI), tokenizer=CODE_TOKENIZER)
+    skipped_any = False
+    for th in (0, 1, 2):
+        q = theme_terms(th)[:3]
+        w = [0.6, 0.3, 0.1]
+        st = PruneStats()
+        res = indri_topk_pruned(bursty_pidx, "wsum", q, w, k=10, stats=st)
+        assert res is not None
+        pruned = [tuple(r) for r in res.collect()]
+        text = "#WSUM(" + " ".join(f"{wi} {t}" for wi, t in zip(w, q)) + ")"
+        exact = [tuple(r) for r in eng.search(text, 10).collect()]
+        assert pruned == exact and pruned, f"theme {th} diverged"
+        if st.n_blocks_scanned < st.n_blocks_total:
+            skipped_any = True
+    assert skipped_any, "no weighted theme query skipped a single block"

@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from search_engine_spark.config import BM25, ModelConfig  # noqa: E402
+from search_engine_spark.config import BM25, INDRI, ModelConfig  # noqa: E402
 from search_engine_spark.corpus import (  # noqa: E402
     distributed_corpus_df,
     theme_terms,
@@ -41,6 +41,7 @@ from search_engine_spark.corpus import (  # noqa: E402
 from search_engine_spark.engine.pruning import (  # noqa: E402
     PruneStats,
     bm25_topk_pruned,
+    indri_topk_pruned,
 )
 from search_engine_spark.engine.runner import Engine  # noqa: E402
 from search_engine_spark.index.persist import (  # noqa: E402
@@ -125,6 +126,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default="/tmp/bursty_prune_idx")
+    ap.add_argument(
+        "--model", choices=["bm25", "indri"], default="bm25",
+        help="indri: weighted MaxScore pruning over #AND/#WAND/#WSUM "
+        "(engine/pruning.py indri_topk_pruned) instead of flat BM25",
+    )
     args = ap.parse_args()
 
     # the UI is normally off (session.py); this tool needs its REST API for
@@ -134,24 +140,51 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "true"},
     )
     pidx = build_or_reuse(spark, args.n_files, args.block_size, args.out)
-    eng = Engine(pidx, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
+    is_indri = args.model == "indri"
+    eng = Engine(
+        pidx, ModelConfig(name=INDRI if is_indri else BM25),
+        tokenizer=CODE_TOKENIZER,
+    )
+    # rotate the three Indri combines across themes; weights sum to 1
+    _KINDS = [("wsum", [0.6, 0.3, 0.1]), ("wand", [0.7, 0.2, 0.1]), ("and", None)]
+
+    def query_spec(th_idx: int, q: list[str]):
+        """(query text for the exact engine, pruned-plan callable)."""
+        if not is_indri:
+            return " ".join(q), lambda st: bm25_topk_pruned(
+                pidx, q, k=args.k, stats=st
+            )
+        kind, weights = _KINDS[th_idx % len(_KINDS)]
+        if kind == "and":
+            text = " ".join(q)
+        else:
+            text = (
+                f"#{kind.upper()}("
+                + " ".join(f"{w} {t}" for w, t in zip(weights, q))
+                + ")"
+            )
+        return text, lambda st: indri_topk_pruned(
+            pidx, kind, q, weights, k=args.k, stats=st
+        )
 
     # warmup (JIT/codegen on both plans)
     wq = theme_terms(THEMES[0])[:3]
-    bm25_topk_pruned(pidx, wq, k=args.k).collect()
+    wtext, wpruned = query_spec(0, wq)
+    wpruned(PruneStats()).collect()
     os.environ["SPARK_GRAFT_NO_PRUNE"] = "1"
-    eng.search(" ".join(wq), args.k).collect()
+    eng.search(wtext, args.k).collect()
     del os.environ["SPARK_GRAFT_NO_PRUNE"]
 
     rows = []
-    for th in THEMES:
+    for th_idx, th in enumerate(THEMES):
         q = theme_terms(th)[:3]
+        text, pruned_fn = query_spec(th_idx, q)
 
         def run_exact():
             os.environ["SPARK_GRAFT_NO_PRUNE"] = "1"
             try:
                 return [
-                    tuple(r) for r in eng.search(" ".join(q), args.k).collect()
+                    tuple(r) for r in eng.search(text, args.k).collect()
                 ]
             finally:
                 del os.environ["SPARK_GRAFT_NO_PRUNE"]
@@ -161,10 +194,9 @@ def main() -> None:
         def run_pruned():
             nonlocal st
             st = PruneStats()
-            return [
-                tuple(r)
-                for r in bm25_topk_pruned(pidx, q, k=args.k, stats=st).collect()
-            ]
+            res = pruned_fn(st)
+            assert res is not None, "pruned path refused an in-contract query"
+            return [tuple(r) for r in res.collect()]
 
         # interleave reps (alternating order) so host-load drift during the
         # theme hits both plans symmetrically instead of biasing whichever
@@ -200,6 +232,7 @@ def main() -> None:
         row = {
             "theme": th,
             "terms": q,
+            "query": text,
             "k": args.k,
             "identical": identical,
             "blocks_scanned": st.n_blocks_scanned,
@@ -220,6 +253,7 @@ def main() -> None:
 
     summary = {
         "metric": "block_max_pruning_evidence",
+        "model": args.model,
         "n_files": args.n_files,
         "block_size": args.block_size,
         "k": args.k,

@@ -73,6 +73,9 @@ def level_tags(label: str) -> str:
     return " ".join(tags)
 
 
+STAGE_NOTE = re.compile(r"stage-eff seg=(?P<seg>[\d.]+|None) merge=(?P<merge>[\d.]+|None)")
+
+
 def parse(path: str) -> list[dict]:
     rows = []
     for line in open(path):
@@ -80,6 +83,7 @@ def parse(path: str) -> list[dict]:
         if not m:
             continue
         d = m.groupdict()
+        sm = STAGE_NOTE.search(d["note"] or "")
         rows.append(
             {
                 "files": int(d["files"]),
@@ -87,6 +91,12 @@ def parse(path: str) -> list[dict]:
                 "segment": level_tags(d["lo"].strip()),
                 "eff": float(d["eff"]),
                 "speedup": float(d["speedup"]),
+                "seg_eff": (
+                    float(sm["seg"]) if sm and sm["seg"] != "None" else None
+                ),
+                "merge_eff": (
+                    float(sm["merge"]) if sm and sm["merge"] != "None" else None
+                ),
             }
         )
     return rows
@@ -116,9 +126,48 @@ def summarize(rows: list[dict]) -> list[dict]:
     return out
 
 
+def stage_decomposition(rows: list[dict], files: int) -> dict:
+    """Per-stage efficiency decomposition for one input size, pooling every
+    chunked-kernel-era build row that carries stage notes (codec is
+    scale-neutral per the chain-13 interleaved A/B, so zstd/lz4/default tags
+    pool — 'default' IS zstd since commit cb43bb8). Emitted per-row sorted by
+    end-to-end efficiency plus stage medians, so the bimodality argument
+    (segment stage consistently healthy; merge stage healthy-or-DRAM-degraded)
+    is tool-generated rather than hand-assembled."""
+    pool = [
+        r
+        for r in rows
+        if r["kind"] == "build"
+        and r["files"] == files
+        and r["seg_eff"] is not None
+        and "chunk=" in r["segment"]
+        and "1-core" in r["segment"]
+    ]
+    pool.sort(key=lambda r: -r["eff"])
+    med = lambda k: round(statistics.median(r[k] for r in pool), 3) if pool else None
+    return {
+        "files": files,
+        "n": len(pool),
+        "median_eff": med("eff"),
+        "median_seg_eff": med("seg_eff"),
+        "median_merge_eff": med("merge_eff"),
+        "rows": [
+            {"eff": r["eff"], "seg_eff": r["seg_eff"], "merge_eff": r["merge_eff"]}
+            for r in pool
+        ],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--stages",
+        type=int,
+        metavar="FILES",
+        help="per-stage efficiency decomposition table for one input size "
+        "(chunked-era exec-cluster build rows with stage notes)",
+    )
     ap.add_argument(
         "--markdown",
         action="store_true",
@@ -132,6 +181,25 @@ def main() -> None:
     )
     ap.add_argument("--path", default=os.path.join(REPO, "BENCH_SCALING.md"))
     args = ap.parse_args()
+    if args.stages:
+        d = stage_decomposition(parse(args.path), args.stages)
+        if args.json:
+            print(json.dumps(d, indent=1))
+            return
+        print(
+            f"| files | n | median end-to-end | median seg-eff | median merge-eff |"
+        )
+        print("|---|---|---|---|---|")
+        print(
+            f"| {d['files']} | {d['n']} | {d['median_eff']} "
+            f"| {d['median_seg_eff']} | {d['median_merge_eff']} |"
+        )
+        print()
+        print("| end-to-end eff | segment-stage eff | merge-stage eff |")
+        print("|---|---|---|")
+        for r in d["rows"]:
+            print(f"| {r['eff']:.3f} | {r['seg_eff']:.3f} | {r['merge_eff']:.3f} |")
+        return
     summary = summarize(parse(args.path))
     if args.json:
         print(json.dumps(summary, indent=1))
