@@ -55,9 +55,16 @@ def level_tags(label: str) -> str:
     if w:
         tags.append("warm")
     # untagged rows ran the session default — lz4 before commit cb43bb8
-    # made zstd the engine default, zstd after; the label can't tell which
+    # made zstd the engine default, zstd after; the label can't tell which.
+    # EXCEPT in the chunked-kernel era (chunk= tag present): the chunked
+    # kernel postdates the zstd default flip, so an explicit codec=zstd tag
+    # and an untagged default row are physically the SAME configuration
+    # (the chain-19 note) — pool them under 'default'.
     c = re.search(r"\(codec=(\w+)\)", label)
-    tags.append(f"shuffle={c.group(1) if c else 'default'}")
+    codec = c.group(1) if c else "default"
+    if codec == "zstd" and "(chunk=" in label:
+        codec = "default"
+    tags.append(f"shuffle={codec}")
     s = re.search(r"\(seg=(\w+)\)", label)
     if s:
         tags.append(f"seg={s.group(1)}")
