@@ -39,7 +39,8 @@ def main() -> None:
     ap.add_argument("--pruned", action="store_true")
     ap.add_argument("--batch", action="store_true",
                     help="answer the WHOLE query file as one Spark job "
-                         "(flat BM25 BOW only): one union postings scan, "
+                         "(flat BM25 BOW, or flat Indri #AND/#WAND/#WSUM "
+                         "under --model Indri): one union postings scan, "
                          "one shuffle, per-qid top-k — engine/batch.py")
     ap.add_argument("--fb", action="store_true",
                     help="two-round PRF expansion per query (SURVEY §2.10)")

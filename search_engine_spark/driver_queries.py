@@ -954,6 +954,58 @@ SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
 _register("indri_batch_topk", _q_indri_batch_topk, _indri_batch_sql(100))
 
 
+# -- batched Boolean execution (engine/batch.py) ------------------------------
+
+BOOL_BATCH_QUERY_SET = [
+    ("b1", "spark query table", ("or", ["spark", "query", "table"])),
+    ("b2", "#AND(spark query)", ("and", ["spark", "query"])),
+    ("b3", "#OR(dup table)", ("or", ["dup", "table"])),
+    ("b4", "#AND(dup dup table)", ("and", ["dup", "table"])),  # dup children
+]
+
+
+def _q_bool_batch_topk(spark, sf_dir):
+    from search_engine_spark.engine.batch import batch_topk
+
+    eng = _engine(spark, sf_dir, RANKED_BOOLEAN)
+    qs = [(qid, text) for qid, text, _ in BOOL_BATCH_QUERY_SET]
+    return batch_topk(eng, qs, 100).select(
+        "qid", "rank", F.col("docid").cast("long").alias("docid"), "score"
+    )
+
+
+def _bool_batch_sql(k: int) -> str:
+    sels = []
+    for qid, _, (kind, terms) in BOOL_BATCH_QUERY_SET:
+        f32tf = "CAST(CAST(tf AS REAL) AS DOUBLE)"
+        if kind == "or":
+            sels.append(
+                f"SELECT '{qid}' AS qid, doc_id, max({f32tf}) AS score "
+                f"FROM tfs WHERE term IN {_sql_in(terms)} GROUP BY doc_id"
+            )
+        else:
+            sels.append(
+                f"SELECT '{qid}' AS qid, doc_id, min({f32tf}) AS score "
+                f"FROM tfs WHERE term IN {_sql_in(terms)} GROUP BY doc_id "
+                f"HAVING count(*) = {len(terms)}"
+            )
+    return (
+        SQL_PRELUDE
+        + ",\nallq AS (\n  "
+        + "\n  UNION ALL ".join(sels)
+        + f"""),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id AS docid, score
+  FROM allq)
+SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
+    )
+
+
+_register("bool_batch_topk", _q_bool_batch_topk, _bool_batch_sql(100))
+
+
 # -- multi-field Indri #WSUM ---------------------------------------------------
 # the reference's hw3 headline shape ("multi-field #WSUM queries", BASELINE.md):
 # each leaf scores against ITS field's ctf/c_len/doclen, and a candidate doc

@@ -59,7 +59,9 @@ from collections import Counter
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from search_engine_spark.config import BM25, INDRI, TOP_K
+from search_engine_spark.config import (
+    BM25, INDRI, RANKED_BOOLEAN, TOP_K, UNRANKED_BOOLEAN,
+)
 from search_engine_spark.engine.compiler import _leaf_score_col, compile_node
 from search_engine_spark.engine.runner import Engine
 
@@ -248,6 +250,84 @@ def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame
     return grouped.select("qid", "docid", score.alias("score"))
 
 
+def bool_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
+    """[(qid, text)] -> (qid, docid, score) for flat Boolean #AND / #OR.
+
+    Same one-scan/one-shuffle shape; the Boolean combines need no per-child
+    constants at all — per (qid, docid) the aggregate keeps the distinct
+    child count plus min/max tf, then #AND keeps rows present in EVERY
+    child (QryopSlAnd.java:91-122, min score at :111-114 when ranked) and
+    #OR keeps the union with the max (QryopSlOr.java:34-66). min/max
+    commute bitwise with the reference's per-child float32 cast (rounding
+    is monotone), so the post-agg cast equals the exact plan's."""
+    from search_engine_spark.engine import score as score_mod
+    from search_engine_spark.engine.ops import (
+        AndBoolNode, IlNode, OrNode, ScoreNode, TermNode,
+    )
+
+    if eng.model.name not in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
+        raise ValueError("bool_batch_scores requires a Boolean model")
+    spark = eng.index.doc_ids.sparkSession
+    qleaf, qmeta = [], []
+    for qid, text in queries:
+        node = compile_node(eng.parse(text), eng.ctx, eng.default_field)
+        if isinstance(node, IlNode):
+            node = ScoreNode(node)
+        if isinstance(node, ScoreNode):
+            kind, children = "bor", [node]  # single child: max of one = it
+        elif isinstance(node, OrNode):
+            kind, children = "bor", node.children
+        elif isinstance(node, AndBoolNode):
+            kind, children = "band", node.children
+        else:
+            raise ValueError(
+                f"query {qid!r} compiles to {type(node).__name__} — Boolean "
+                "batch covers flat #AND/#OR"
+            )
+        for ci, c in enumerate(children):
+            if not (isinstance(c, ScoreNode) and isinstance(c.child, TermNode)):
+                raise ValueError(
+                    f"query {qid!r} has a structured child — Boolean batch "
+                    "covers flat term-leaf shapes"
+                )
+            qleaf.append((qid, ci, c.child.term, c.child.field))
+        # membership target = DISTINCT (term, field) pairs: duplicate
+        # children collapse exactly like the flat fast path
+        # (compiler.try_flat_scores AndBoolNode branch)
+        qmeta.append(
+            (qid, kind, len({(c.child.term, c.child.field) for c in children}))
+        )
+    if not qleaf:
+        return spark.createDataFrame([], "qid string, docid long, score double")
+
+    pairs = sorted({(t, f) for _, _, t, f in qleaf})
+    scan = eng.ctx.index.postings_for(pairs)
+    qleaf_df = spark.createDataFrame(
+        qleaf, "qid string, ci int, term string, field string"
+    )
+    qmeta_df = spark.createDataFrame(qmeta, "qid string, _kind string, _k int")
+    base = (
+        scan.select("term", "field", "docid", "tf")
+        .join(F.broadcast(qleaf_df), ["term", "field"])
+        .groupBy("qid", "docid")
+        .agg(
+            F.count_distinct(F.struct("term", "field")).alias("_n"),
+            F.min("tf").alias("_min"),
+            F.max("tf").alias("_max"),
+        )
+        .join(F.broadcast(qmeta_df), "qid")
+        .where((F.col("_kind") == "bor") | (F.col("_n") == F.col("_k")))
+    )
+    if eng.model.name == RANKED_BOOLEAN:
+        score = F.when(
+            F.col("_kind") == "band",
+            score_mod._f32(F.col("_min").cast("double")),
+        ).otherwise(score_mod._f32(F.col("_max").cast("double")))
+    else:
+        score = score_mod._f32(F.lit(1.0))
+    return base.select("qid", "docid", score.alias("score"))
+
+
 def batch_topk(
     eng: Engine, queries: list[tuple[str, str]], k: int = TOP_K,
     salt_buckets: int = _SALT_BUCKETS,
@@ -257,11 +337,13 @@ def batch_topk(
     Rank-identical to per-query ``Engine.search`` (same score expression,
     same desc-score/asc-ext-id tie-break); queries with no matching term
     simply have no rows (the TREC dummy row is the sink's job,
-    topk.trec_lines). Dispatches on the engine's model: flat BM25 #SUM or
-    flat Indri #AND/#WAND/#WSUM.
+    topk.trec_lines). Dispatches on the engine's model: flat BM25 #SUM,
+    flat Indri #AND/#WAND/#WSUM, or flat Boolean #AND/#OR.
     """
     if eng.model.name == INDRI:
         scores = indri_batch_scores(eng, queries)
+    elif eng.model.name in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
+        scores = bool_batch_scores(eng, queries)
     else:
         scores = batch_scores(eng, queries)
     # stage 1 — salted partial cut: rank() keeps boundary ties (their final

@@ -120,3 +120,38 @@ def test_indri_batch_rejects_mixed_fields(code_index):
     eng = _ind(code_index)
     with pytest.raises(ValueError, match="single field"):
         batch_topk(eng, [("q1", "lock.path queue")], K)
+
+
+# -- Boolean batch ------------------------------------------------------------
+
+from search_engine_spark.config import RANKED_BOOLEAN, UNRANKED_BOOLEAN  # noqa: E402
+
+BOOL_BATCH = [
+    ("r1", "lock free queue"),                   # implicit #OR wrap
+    ("r2", "#AND(lock queue)"),
+    ("r3", "#OR(ring buffer slot)"),
+    ("r4", "#AND(lock lock queue)"),             # duplicate children
+    ("r5", "#AND(lock zzz_not_in_vocab_zzz)"),   # absent term -> empty AND
+    ("r6", "token_next"),                        # single child
+]
+
+
+@pytest.mark.parametrize("model", [RANKED_BOOLEAN, UNRANKED_BOOLEAN])
+def test_bool_batch_matches_per_query(code_index, model):
+    eng = Engine(code_index, ModelConfig(name=model), tokenizer=CODE_TOKENIZER)
+    got = _by_qid(batch_topk(eng, BOOL_BATCH, K))
+    assert "r5" not in got  # AND with an absent term intersects to empty
+    for qid, text in BOOL_BATCH:
+        want = [
+            (r["rank"], r["docid"], r["ext_docid"], r["score"])
+            for r in eng.search(text, K).collect()
+        ]
+        assert got.get(qid, []) == want, f"{model}:{qid} diverges"
+
+
+def test_bool_batch_rejects_structured(code_index):
+    eng = Engine(
+        code_index, ModelConfig(name=RANKED_BOOLEAN), tokenizer=CODE_TOKENIZER
+    )
+    with pytest.raises(ValueError, match="structured child"):
+        batch_topk(eng, [("q1", "#OR(lock #NEAR/2(ring buffer))")], K)
