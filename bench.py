@@ -51,6 +51,7 @@ HEADLINE = [
     "field_bm25_topk",
     "bm25_batch_topk",
     "indri_batch_topk",
+    "bool_batch_topk",
     "prf_term_weights",
     "letor_rerank_topk",
     "prospective_match",

@@ -120,18 +120,26 @@ def main() -> None:
         t0 = time.time()
         by_qid: dict[str, list[str]] = {}
         if args.batch:
-            from search_engine_spark.engine.batch import batch_topk
+            from search_engine_spark.engine.batch import batch_topk, split_batchable
 
+            # mixed file: ONE job for the flat majority, per-query fallback
+            # for structured/off-contract shapes (each costs its own job)
+            bq, rest = split_batchable(_engine(), pairs)
             rows_by_qid: dict[str, list] = {}
-            res = batch_topk(_engine(), pairs, args.k).collect()
-            for r in res:
-                rows_by_qid.setdefault(r["qid"], []).append(r.asDict())
-            for qid, _ in pairs:
+            if bq:
+                res = batch_topk(_engine(), bq, args.k).collect()
+                for r in res:
+                    rows_by_qid.setdefault(r["qid"], []).append(r.asDict())
+            for qid, _ in bq:
                 rows = sorted(
                     rows_by_qid.get(qid, []), key=lambda d: d["rank"]
                 )
                 by_qid[qid] = trec_lines(qid, rows)
-            per_q = {"batch": round(time.time() - t0, 3)}
+            per_q = {"batch": round(time.time() - t0, 3), "n_batched": len(bq)}
+            for qid, text in rest:
+                qid, ls, sec = answer(qid, text)
+                by_qid[qid] = ls
+                per_q[qid] = sec
         elif args.concurrency > 1:
             from concurrent.futures import ThreadPoolExecutor
 

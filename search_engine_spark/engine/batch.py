@@ -250,6 +250,67 @@ def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame
     return grouped.select("qid", "docid", score.alias("score"))
 
 
+def _bool_query_spec(
+    eng: Engine, qid: str, text: str
+) -> tuple[str, list[tuple[str, str]]]:
+    """Parse + compile one Boolean query; ('bor'|'band', [(term, field)])
+    for flat #OR / #AND over term leaves, else raise."""
+    from search_engine_spark.engine.ops import (
+        AndBoolNode, IlNode, OrNode, ScoreNode, TermNode,
+    )
+
+    node = compile_node(eng.parse(text), eng.ctx, eng.default_field)
+    if isinstance(node, IlNode):
+        node = ScoreNode(node)
+    if isinstance(node, ScoreNode):
+        kind, children = "bor", [node]  # single child: max of one = it
+    elif isinstance(node, OrNode):
+        kind, children = "bor", node.children
+    elif isinstance(node, AndBoolNode):
+        kind, children = "band", node.children
+    else:
+        raise ValueError(
+            f"query {qid!r} compiles to {type(node).__name__} — Boolean "
+            "batch covers flat #AND/#OR"
+        )
+    for c in children:
+        if not (isinstance(c, ScoreNode) and isinstance(c.child, TermNode)):
+            raise ValueError(
+                f"query {qid!r} has a structured child — Boolean batch "
+                "covers flat term-leaf shapes"
+            )
+    return kind, [(c.child.term, c.child.field) for c in children]
+
+
+def split_batchable(
+    eng: Engine, queries: list[tuple[str, str]]
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """Partition a query file into (batchable, residual) for ``batch_topk``
+    under ``eng``'s model. A mixed offline-eval file then runs as ONE job
+    for the flat majority plus per-query evaluation of the structured
+    residual (jobs/run_queries.py --batch), instead of rejecting the whole
+    file — the r03 verdict's batch-coverage gap."""
+    good, rest = [], []
+    for qid, text in queries:
+        try:
+            if eng.model.name == BM25:
+                if "#" in text:
+                    raise ValueError("structured")
+            elif eng.model.name == INDRI:
+                _, _, leaves = _indri_query_spec(eng, qid, text)
+                if any(f != eng.default_field for _, f in leaves):
+                    raise ValueError("non-default field")
+            elif eng.model.name in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
+                _bool_query_spec(eng, qid, text)
+            else:
+                raise ValueError(f"model {eng.model.name}")
+        except ValueError:
+            rest.append((qid, text))
+            continue
+        good.append((qid, text))
+    return good, rest
+
+
 def bool_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     """[(qid, text)] -> (qid, docid, score) for flat Boolean #AND / #OR.
 
@@ -261,42 +322,19 @@ def bool_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     commute bitwise with the reference's per-child float32 cast (rounding
     is monotone), so the post-agg cast equals the exact plan's."""
     from search_engine_spark.engine import score as score_mod
-    from search_engine_spark.engine.ops import (
-        AndBoolNode, IlNode, OrNode, ScoreNode, TermNode,
-    )
 
     if eng.model.name not in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
         raise ValueError("bool_batch_scores requires a Boolean model")
     spark = eng.index.doc_ids.sparkSession
     qleaf, qmeta = [], []
     for qid, text in queries:
-        node = compile_node(eng.parse(text), eng.ctx, eng.default_field)
-        if isinstance(node, IlNode):
-            node = ScoreNode(node)
-        if isinstance(node, ScoreNode):
-            kind, children = "bor", [node]  # single child: max of one = it
-        elif isinstance(node, OrNode):
-            kind, children = "bor", node.children
-        elif isinstance(node, AndBoolNode):
-            kind, children = "band", node.children
-        else:
-            raise ValueError(
-                f"query {qid!r} compiles to {type(node).__name__} — Boolean "
-                "batch covers flat #AND/#OR"
-            )
-        for ci, c in enumerate(children):
-            if not (isinstance(c, ScoreNode) and isinstance(c.child, TermNode)):
-                raise ValueError(
-                    f"query {qid!r} has a structured child — Boolean batch "
-                    "covers flat term-leaf shapes"
-                )
-            qleaf.append((qid, ci, c.child.term, c.child.field))
+        kind, leaves = _bool_query_spec(eng, qid, text)
+        for ci, (t, f) in enumerate(leaves):
+            qleaf.append((qid, ci, t, f))
         # membership target = DISTINCT (term, field) pairs: duplicate
         # children collapse exactly like the flat fast path
         # (compiler.try_flat_scores AndBoolNode branch)
-        qmeta.append(
-            (qid, kind, len({(c.child.term, c.child.field) for c in children}))
-        )
+        qmeta.append((qid, kind, len(set(leaves))))
     if not qleaf:
         return spark.createDataFrame([], "qid string, docid long, score double")
 

@@ -155,3 +155,29 @@ def test_bool_batch_rejects_structured(code_index):
     )
     with pytest.raises(ValueError, match="structured child"):
         batch_topk(eng, [("q1", "#OR(lock #NEAR/2(ring buffer))")], K)
+
+
+def test_split_batchable(code_index):
+    from search_engine_spark.engine.batch import split_batchable
+
+    mixed = [
+        ("q1", "lock free queue"),
+        ("q2", "#NEAR/2(ring buffer)"),
+        ("q3", "#AND(lock queue)"),
+    ]
+    bm = _eng(code_index)
+    good, rest = split_batchable(bm, mixed)
+    assert [q for q, _ in good] == ["q1"]
+    assert [q for q, _ in rest] == ["q2", "q3"]  # structured under BM25
+
+    ind = _ind(code_index)
+    good, rest = split_batchable(ind, mixed + [("q4", "lock.path queue")])
+    assert [q for q, _ in good] == ["q1", "q3"]  # flat #AND batches under Indri
+    assert [q for q, _ in rest] == ["q2", "q4"]  # positional + non-default field
+
+    rb = Engine(
+        code_index, ModelConfig(name=RANKED_BOOLEAN), tokenizer=CODE_TOKENIZER
+    )
+    good, rest = split_batchable(rb, mixed)
+    assert [q for q, _ in good] == ["q1", "q3"]
+    assert [q for q, _ in rest] == ["q2"]
