@@ -125,6 +125,31 @@ class BuildConfig:
             os.environ.get("SPARK_GRAFT_MERGE_CHUNK", "1000000")
         )
     )
+    # merge strategy: "shuffle" = one repartition(term, field, salt) job
+    # (the classic path); "bucketed" = SHUFFLE-FREE merge — the segment
+    # writer routes term rows into per-merge-bucket files (deterministic
+    # crc32(term) % merge_buckets, so every (term, field, salt) group is
+    # co-located at WRITE time) and the merge is one python task per bucket
+    # reading its files directly with pyarrow. This deletes the merge
+    # shuffle-map pass entirely — the pass event-log forensics showed
+    # inflating 6.3x in task-seconds under 4-executor co-residency on
+    # identical bytes (BENCH_SCALING.md chain-12) — and with it one full
+    # write+read of the segments table. The strategy is a property of the
+    # segments AS WRITTEN (recorded in segments/_manifest.json), so resume /
+    # append / streaming interop needs no config coupling: the merge phase
+    # dispatches on what the side manifest says, not on cfg.
+    merge_strategy: str = dc_field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_MERGE_STRATEGY", "shuffle"
+        )
+    )
+    # bucket count for the bucketed strategy. Fixed (NOT parallelism-
+    # derived) so N-vs-4N scaling runs execute the identical task set at
+    # both levels; sized so the largest bucket (one heavy keyword + ~1/B of
+    # the Zipf tail) stays well under a 1/cores share of merge work.
+    merge_buckets: int = dc_field(
+        default_factory=lambda: int(os.environ.get("SPARK_GRAFT_MERGE_BUCKETS", "64"))
+    )
 
 
 PACKED_SCHEMA = T.StructType(
@@ -643,12 +668,29 @@ def _task_tag() -> str:
 WRITER_SCHEMA = "kind string, file string, rows long"
 
 
+def _mbucket_of(term: str, n: int) -> int:
+    """Deterministic merge-bucket of a term (bucketed strategy): crc32 is
+    stable across processes/runs (unlike PYTHONHASHSEED-salted hash()), so
+    a resumed segment stage routes identically."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n
+
+
 def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> DataFrame:
     """Segment pass with python-side parquet write: each task runs the Arrow
-    kernel and writes its term rows / marker rows to its own two files under
-    ``seg_dir``, returning (kind, file, rows) manifest rows."""
+    kernel and writes its term rows / marker rows to its own files under
+    ``seg_dir``, returning (kind, file, rows) manifest rows.
+
+    Under ``merge_strategy="bucketed"`` the term rows are additionally
+    routed into one file per merge bucket (``terms-mb{k}-{tag}.parquet``,
+    bucket = crc32(term) % merge_buckets): every (term, field) group —
+    hence every post-salt (term, field, salt) group — is co-located across
+    segments by construction, so the merge phase reads each bucket's files
+    directly instead of shuffling the whole segments table."""
     inner = _arrow_kernel_gen(cfg)
     codec = cfg.segment_codec
+    n_mb = cfg.merge_buckets if cfg.merge_strategy == "bucketed" else 0
 
     def gen(batches):
         import pyarrow as pa
@@ -666,17 +708,47 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
                 )
             return sinks[kind][0]
 
+        mb_cache: dict = {}
+
+        def write_terms(rb) -> None:
+            if not n_mb:
+                sink("terms").write(rb)
+                return
+            # vectorized routing: hash only the batch's UNIQUE terms (a
+            # chunk's vocab, not its rows), map per-row via index_in, then
+            # one stable sort + contiguous slices per bucket present.
+            t = rb.column(0)
+            uniq = pc.unique(t)
+            ub = np.empty(len(uniq), dtype=np.int64)
+            for i, u in enumerate(uniq.to_pylist()):
+                b = mb_cache.get(u)
+                if b is None:
+                    b = mb_cache[u] = _mbucket_of(u, n_mb)
+                ub[i] = b
+            codes = pc.index_in(t, value_set=uniq).to_numpy(
+                zero_copy_only=False
+            )
+            bks = ub[codes]
+            order = np.argsort(bks, kind="stable")
+            srt = rb.take(pa.array(order))
+            sb = bks[order]
+            bounds = np.flatnonzero(np.r_[True, np.diff(sb) != 0])
+            bounds = np.r_[bounds, sb.size]
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                sink(f"terms-mb{int(sb[lo]):04d}").write(srt.slice(lo, hi - lo))
+
         mset = pa.array(MARKER_TERMS)
         for rb in inner(batches):
             mask = pc.is_in(rb.column(0), value_set=mset)
             n_m = pc.sum(mask).as_py() or 0
             if n_m == 0:
-                sink("terms").write(rb)
+                write_terms(rb)
             elif n_m == rb.num_rows:
                 sink("markers").write(rb)
             else:
                 sink("markers").write(rb.filter(mask))
-                sink("terms").write(rb.filter(pc.invert(mask)))
+                write_terms(rb.filter(pc.invert(mask)))
         out = [(k, f, w.close()) for k, (w, f) in sinks.items()]
         out = [(k, f, n) for k, f, n in out if n]
         if out:
@@ -723,6 +795,116 @@ def _packed_writer_rows(
             )
 
     return part_df.mapInArrow(gen, WRITER_SCHEMA)
+
+
+def _salt_explode_table(tbl, heavy_terms: list, n_salts: int, max_docid: int):
+    """numpy twin of the JVM-side salt explode (the withColumn/F.explode in
+    the shuffle merge path): heavy-term rows are repeated once per salt
+    range their [min_docid, max_docid] span overlaps; everything else gets
+    salt 0. Integer // matches Spark's `div` for the non-negative docids
+    here, so salt boundaries agree bit-for-bit with the shuffle plan."""
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    if heavy_terms:
+        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        salted = np.isin(terms, np.asarray(heavy_terms, dtype=object))
+    else:
+        salted = np.zeros(n, dtype=bool)
+    mind = tbl.column("min_docid").to_numpy(zero_copy_only=False).astype(np.int64)
+    maxd = tbl.column("max_docid").to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = np.where(salted, (mind * n_salts) // (max_docid + 1), 0)
+    hi = np.where(salted, (maxd * n_salts) // (max_docid + 1), 0)
+    reps = hi - lo + 1
+    if (reps == 1).all():
+        salt = lo
+        out = tbl
+    else:
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        out = tbl.take(pa.array(idx))
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        within = np.arange(idx.size, dtype=np.int64) - np.repeat(starts, reps)
+        salt = np.repeat(lo, reps) + within
+        salted = np.repeat(salted, reps)
+    out = out.append_column("salted", pa.array(salted))
+    out = out.append_column("salt", pa.array(salt.astype(np.int32)))
+    return out
+
+
+def _bucketed_merge(
+    spark: SparkSession, seg_dir: str, seg_man: dict, pk_dir: str,
+    heavy_terms: list, n_salts: int, max_docid: int, block_size: int,
+    merge_kernel: str = "vec", merge_chunk_postings: int | None = None,
+) -> list:
+    """SHUFFLE-FREE merge (merge_strategy="bucketed"): one python task per
+    merge bucket reads that bucket's segment files directly with pyarrow
+    (the segment writer already co-located every (term, field) group by
+    crc32 routing), salt-explodes heavy terms in numpy, runs the SAME merge
+    kernel as the shuffle path, and writes its packed file python-side.
+    Spark is pure orchestration — the only bytes on the wire are
+    (bucket, file-list) out and (file, rows) back; the merge shuffle-map
+    pass (segment scan → hash → shuffle-file write, the pass chain-12
+    event-log forensics measured inflating 6.3x in task-seconds under
+    4-executor co-residency) does not exist in this plan, and the segments
+    table crosses DRAM once instead of three times (scan + shuffle write +
+    fetch). Packed blocks are identical to the shuffle strategy's — the
+    kernel is deterministic per (term, field, salt) group and routing only
+    changes which task a group lands in (tests/test_merge_bucketed.py).
+
+    Buckets are scheduled longest-first (by on-disk bytes) so the heaviest
+    bucket — one stopword-grade keyword plus ~1/B of the Zipf tail — never
+    lands last on a nearly-drained task queue. Returns [(file, rows)]."""
+    import re as _re
+
+    if merge_kernel == "vec":
+        inner = make_merge_partition_vec(
+            n_salts, max_docid, block_size, merge_chunk_postings
+        )
+    else:
+        inner = make_merge_partition(n_salts, max_docid, block_size)
+
+    by: dict = {}
+    for f in seg_man["files"]:
+        m = _re.match(r"terms-mb(\d+)-", f)
+        if m is None:
+            raise ValueError(
+                f"bucketed merge: segment file {f!r} carries no merge-bucket "
+                "routing — the segments were not written by the bucketed "
+                "strategy; rebuild or use merge_strategy='shuffle'"
+            )
+        by.setdefault(int(m.group(1)), []).append(f)
+    if not by:
+        return []
+    sizes = {
+        k: sum(os.path.getsize(os.path.join(seg_dir, f)) for f in fs)
+        for k, fs in by.items()
+    }
+    tasks = sorted(by.items(), key=lambda kv: -sizes[kv[0]])
+    heavy = sorted(heavy_terms)
+
+    def run(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for k, fs in it:
+            parts = [pq.read_table(os.path.join(seg_dir, f)) for f in fs]
+            tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            if tbl.num_rows == 0:
+                continue
+            tbl = _salt_explode_table(tbl, heavy, n_salts, max_docid)
+            fname = f"packed-mb{k:04d}-{_task_tag()}.parquet"
+            w = _TaskParquetWriter(os.path.join(pk_dir, fname))
+            for rb in inner(tbl.to_batches()):
+                w.write(rb)
+            n = w.close()
+            if n:
+                yield (fname, n)
+
+    return (
+        spark.sparkContext.parallelize(tasks, len(tasks))
+        .mapPartitions(run)
+        .collect()
+    )
 
 
 def _write_side_manifest(dir_path: str, data: dict) -> None:
@@ -1392,17 +1574,23 @@ def build_persistent_index(
                 F.bit_xor(F.xxhash64("ext_docid")).alias("fp"),
             )
             wrows = _segment_writer_rows(observed, cfg, seg_dir).collect()
-            _write_side_manifest(
-                seg_dir,
-                {
-                    "format": 1,
-                    "n_buckets": cfg.n_buckets,
-                    "files": sorted(r["file"] for r in wrows if r["kind"] == "terms"),
-                    "marker_files": sorted(
-                        r["file"] for r in wrows if r["kind"] == "markers"
-                    ),
-                },
-            )
+            seg_man = {
+                "format": 1,
+                "n_buckets": cfg.n_buckets,
+                "files": sorted(
+                    r["file"] for r in wrows if r["kind"].startswith("terms")
+                ),
+                "marker_files": sorted(
+                    r["file"] for r in wrows if r["kind"] == "markers"
+                ),
+            }
+            if cfg.merge_strategy == "bucketed":
+                # the strategy is a property of the segments AS WRITTEN —
+                # the merge phase dispatches on this key, so a resume (or a
+                # differently-configured process) can never shuffle-merge
+                # files that were bucket-routed or vice versa
+                seg_man["merge_buckets"] = cfg.merge_buckets
+            _write_side_manifest(seg_dir, seg_man)
         else:
             # python reference kernel: JVM partitioned write (the layout the
             # streaming ingest also uses); map-side partitionBy, no shuffle
@@ -1663,43 +1851,57 @@ def build_persistent_index(
             run_stats()
 
     if fresh:
-        # fresh build: ONE merge job over every bucket — a single shuffle by
-        # (term, field, salt); per-bucket jobs (the resume path below) would
+        # fresh build: ONE merge job over every bucket. Dispatch on the
+        # segment side manifest: bucketed-routed segments merge SHUFFLE-FREE
+        # (one python task per merge bucket reads its co-located files
+        # directly — see _bucketed_merge); otherwise a single shuffle by
+        # (term, field, salt). Per-bucket jobs (the resume path below) would
         # pay n_buckets x job-orchestration overhead for identical output.
-        # The packed files are written python-side (one file per shuffle
-        # partition, groups sorted by term so row-group min/max stats prune
-        # query scans) and committed by manifest listing.
-        segs_all = read_segment_terms(spark, out).drop("bucket")
-        salted = (
-            F.col("term").isin(heavy_terms) if heavy_terms else F.lit(False)
-        )
-        salt_lo = F.expr(f"(min_docid * {n_salts}) div {max_docid + 1}").cast("int")
-        salt_hi = F.expr(f"(max_docid * {n_salts}) div {max_docid + 1}").cast("int")
-        joined = segs_all.withColumn("salted", salted).withColumn(
-            "salt",
-            F.explode(
-                F.when(F.col("salted"), F.sequence(salt_lo, salt_hi)).otherwise(
-                    F.array(F.lit(0))
-                )
-            ),
-        )
+        # The packed files are written python-side (groups sorted by term so
+        # row-group min/max stats prune query scans) and committed by
+        # manifest listing.
         pk_dir = f"{out}/packed"
         os.makedirs(pk_dir, exist_ok=True)
-        part_df = joined.repartition(merge_parts, "term", "field", "salt")
-        wrows = _packed_writer_rows(
-            part_df, n_salts, max_docid, block_size, pk_dir, cfg.merge_kernel,
-            cfg.merge_chunk_postings,
-        ).collect()
+        seg_man_d = _side_manifest(f"{out}/segments") or {}
+        if seg_man_d.get("merge_buckets"):
+            wfiles = _bucketed_merge(
+                spark, f"{out}/segments", seg_man_d, pk_dir, heavy_terms,
+                n_salts, max_docid, block_size, cfg.merge_kernel,
+                cfg.merge_chunk_postings,
+            )
+        else:
+            segs_all = read_segment_terms(spark, out).drop("bucket")
+            salted = (
+                F.col("term").isin(heavy_terms) if heavy_terms else F.lit(False)
+            )
+            salt_lo = F.expr(f"(min_docid * {n_salts}) div {max_docid + 1}").cast("int")
+            salt_hi = F.expr(f"(max_docid * {n_salts}) div {max_docid + 1}").cast("int")
+            joined = segs_all.withColumn("salted", salted).withColumn(
+                "salt",
+                F.explode(
+                    F.when(F.col("salted"), F.sequence(salt_lo, salt_hi)).otherwise(
+                        F.array(F.lit(0))
+                    )
+                ),
+            )
+            part_df = joined.repartition(merge_parts, "term", "field", "salt")
+            wfiles = [
+                (r["file"], r["rows"])
+                for r in _packed_writer_rows(
+                    part_df, n_salts, max_docid, block_size, pk_dir,
+                    cfg.merge_kernel, cfg.merge_chunk_postings,
+                ).collect()
+            ]
         _write_side_manifest(
             pk_dir,
             {
                 "format": 1,
                 "n_buckets": cfg.n_buckets,
-                "files": sorted(r["file"] for r in wrows),
-                "total_rows": int(sum(r["rows"] for r in wrows)),
+                "files": sorted(f for f, _ in wfiles),
+                "total_rows": int(sum(n for _, n in wfiles)),
             },
         )
-        fresh_blocks = int(sum(r["rows"] for r in wrows))
+        fresh_blocks = int(sum(n for _, n in wfiles))
         with man_lock:
             for b in todo:
                 man.mark_bucket(b)
