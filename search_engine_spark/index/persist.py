@@ -150,6 +150,14 @@ class BuildConfig:
     merge_buckets: int = dc_field(
         default_factory=lambda: int(os.environ.get("SPARK_GRAFT_MERGE_BUCKETS", "64"))
     )
+    # bucketed strategy: task count for the merge job — buckets are greedy
+    # bin-packed (longest first, by routed rows) into this many tasks, so
+    # footer opens scale with tasks x files, not buckets x files. Fixed
+    # (not parallelism-derived) so N-vs-4N scaling levels run the identical
+    # task set.
+    merge_tasks: int = dc_field(
+        default_factory=lambda: int(os.environ.get("SPARK_GRAFT_MERGE_TASKS", "32"))
+    )
 
 
 PACKED_SCHEMA = T.StructType(
@@ -655,6 +663,68 @@ class _TaskParquetWriter:
         return self.rows
 
 
+class _KeyedRowGroupWriter:
+    """One parquet file whose ROW GROUPS are exclusive to integer keys
+    (merge buckets): rows written under key k land in row group(s)
+    containing only key-k rows, so a reader with the key→row-group map can
+    fetch one bucket's rows without touching the rest of the file. Written
+    in ascending key order at close; a key whose buffer overflows the
+    memory bound flushes early and simply spans several row groups.
+
+    This is the bucketed merge strategy's routing vehicle: ONE file per
+    segment task (file count identical to the shuffle strategy — no
+    small-file explosion for stats scans or file listings), with bucket
+    co-location expressed a level down, in parquet's own unit of
+    independent IO."""
+
+    FLUSH_BYTES = 128 << 20
+
+    def __init__(self, path: str, codec: str = "snappy"):
+        self.path = path
+        self.codec = codec
+        self._buf: dict = {}
+        self._nbytes: dict = {}
+        self._total = 0
+        self.rows = 0
+        self._writer = None
+        self.rg_keys: list = []
+        self.rg_rows: list = []
+
+    def write(self, key: int, rb) -> None:
+        if rb.num_rows == 0:
+            return
+        self._buf.setdefault(key, []).append(rb)
+        self._nbytes[key] = self._nbytes.get(key, 0) + rb.nbytes
+        self._total += rb.nbytes
+        self.rows += rb.num_rows
+        if self._total >= self.FLUSH_BYTES:
+            self._flush_key(max(self._nbytes, key=self._nbytes.get))
+
+    def _flush_key(self, k: int) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = self._buf.pop(k, [])
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(
+                self.path, tbl.schema, compression=self.codec
+            )
+        self._writer.write_table(tbl, row_group_size=max(tbl.num_rows, 1))
+        self.rg_keys.append(int(k))
+        self.rg_rows.append(int(tbl.num_rows))
+        self._total -= self._nbytes.pop(k)
+
+    def close(self) -> tuple:
+        for k in sorted(self._buf):
+            self._flush_key(k)
+        if self._writer is not None:
+            self._writer.close()
+        return self.rows, self.rg_keys, self.rg_rows
+
+
 def _task_tag() -> str:
     import uuid
 
@@ -665,7 +735,7 @@ def _task_tag() -> str:
     return f"{pid:05d}-{uuid.uuid4().hex[:12]}"
 
 
-WRITER_SCHEMA = "kind string, file string, rows long"
+WRITER_SCHEMA = "kind string, file string, rows long, extra string"
 
 
 def _mbucket_of(term: str, n: int) -> int:
@@ -682,12 +752,17 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
     kernel and writes its term rows / marker rows to its own files under
     ``seg_dir``, returning (kind, file, rows) manifest rows.
 
-    Under ``merge_strategy="bucketed"`` the term rows are additionally
-    routed into one file per merge bucket (``terms-mb{k}-{tag}.parquet``,
-    bucket = crc32(term) % merge_buckets): every (term, field) group —
-    hence every post-salt (term, field, salt) group — is co-located across
-    segments by construction, so the merge phase reads each bucket's files
-    directly instead of shuffling the whole segments table."""
+    Under ``merge_strategy="bucketed"`` the term rows are routed into
+    key-exclusive parquet ROW GROUPS of the task's single terms file
+    (bucket = crc32(term) % merge_buckets, via _KeyedRowGroupWriter): every
+    (term, field) group — hence every post-salt (term, field, salt) group —
+    is co-located across segments by construction, so the merge phase
+    row-group-prunes each bucket's rows directly instead of shuffling the
+    whole segments table. The bucket→row-group map rides the manifest row's
+    ``extra`` column into the side manifest. File count is IDENTICAL to the
+    shuffle strategy — stats scans and file listings see no small-file
+    explosion (the first cut, one file per bucket per task, made the stats
+    stage 5-10x slower on footer storms)."""
     inner = _arrow_kernel_gen(cfg)
     codec = cfg.segment_codec
     n_mb = cfg.merge_buckets if cfg.merge_strategy == "bucketed" else 0
@@ -698,6 +773,7 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
 
         tag = _task_tag()
         sinks: dict = {}
+        keyed: list = []  # [(writer, fname)] when routing
 
         def sink(kind: str) -> _TaskParquetWriter:
             if kind not in sinks:
@@ -708,12 +784,41 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
                 )
             return sinks[kind][0]
 
+        def keyed_sink() -> _KeyedRowGroupWriter:
+            if not keyed:
+                fname = f"terms-{tag}.parquet"
+                keyed.append(
+                    (_KeyedRowGroupWriter(os.path.join(seg_dir, fname), codec),
+                     fname)
+                )
+            return keyed[0][0]
+
         mb_cache: dict = {}
+        ts_part: dict = {}  # (term, field) -> [df_part, ctf_part]
+
+        def accum_term_stats(rb) -> None:
+            # per-task partial term stats (bucketed mode): segment rows are
+            # unique per (chunk, field, term) over disjoint docids, so
+            # df_part = sum(n), ctf_part = sum(ctf_part). The stats stage
+            # then aggregates ~one tiny file per task instead of scanning
+            # the (row-group-fragmented) segment metadata columns.
+            terms = rb.column(0).to_pylist()
+            fields = rb.column(1).to_pylist()
+            ns = rb.column(2).to_numpy(zero_copy_only=False)
+            ctfs = rb.column(7).to_numpy(zero_copy_only=False)
+            for t, f, n, c in zip(terms, fields, ns, ctfs):
+                e = ts_part.get((t, f))
+                if e is None:
+                    ts_part[(t, f)] = [int(n), int(c)]
+                else:
+                    e[0] += int(n)
+                    e[1] += int(c)
 
         def write_terms(rb) -> None:
             if not n_mb:
                 sink("terms").write(rb)
                 return
+            accum_term_stats(rb)
             # vectorized routing: hash only the batch's UNIQUE terms (a
             # chunk's vocab, not its rows), map per-row via index_in, then
             # one stable sort + contiguous slices per bucket present.
@@ -734,9 +839,10 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
             sb = bks[order]
             bounds = np.flatnonzero(np.r_[True, np.diff(sb) != 0])
             bounds = np.r_[bounds, sb.size]
+            w = keyed_sink()
             for i in range(len(bounds) - 1):
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
-                sink(f"terms-mb{int(sb[lo]):04d}").write(srt.slice(lo, hi - lo))
+                w.write(int(sb[lo]), srt.slice(lo, hi - lo))
 
         mset = pa.array(MARKER_TERMS)
         for rb in inner(batches):
@@ -749,14 +855,43 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
             else:
                 sink("markers").write(rb.filter(mask))
                 write_terms(rb.filter(pc.invert(mask)))
-        out = [(k, f, w.close()) for k, (w, f) in sinks.items()]
-        out = [(k, f, n) for k, f, n in out if n]
+        out = [(k, f, w.close(), None) for k, (w, f) in sinks.items()]
+        for w, f in keyed:
+            n, rg_keys, rg_rows = w.close()
+            out.append(
+                ("terms", f, n,
+                 json.dumps({"rg_keys": rg_keys, "rg_rows": rg_rows}))
+            )
+        if ts_part:
+            import pyarrow.parquet as pq
+
+            keys = sorted(ts_part)
+            ts_tbl = pa.table(
+                {
+                    "term": [k[0] for k in keys],
+                    "field": [k[1] for k in keys],
+                    "df": pa.array(
+                        [ts_part[k][0] for k in keys], pa.int64()
+                    ),
+                    "ctf": pa.array(
+                        [ts_part[k][1] for k in keys], pa.int64()
+                    ),
+                }
+            )
+            ts_name = f"termstats-{tag}.parquet"
+            pq.write_table(
+                ts_tbl, os.path.join(seg_dir, ts_name), compression=codec
+            )
+            out.append(("termstats", ts_name, len(keys), None))
+        out = [(k, f, n, x) for k, f, n, x in out if n]
         if out:
-            ks, fs, ns = zip(*out)
+            ks, fs, ns, xs = zip(*out)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(list(ks)), pa.array(list(fs)),
-                 pa.array(list(ns), type=pa.int64())],
-                names=["kind", "file", "rows"],
+                [pa.array(list(ks), type=pa.string()),
+                 pa.array(list(fs), type=pa.string()),
+                 pa.array(list(ns), type=pa.int64()),
+                 pa.array(list(xs), type=pa.string())],
+                names=["kind", "file", "rows", "extra"],
             )
 
     cols = ["docid", "ext_docid"] + sorted({src for _, src in cfg.fields.items()})
@@ -790,8 +925,9 @@ def _packed_writer_rows(
         if n:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(["packed"]), pa.array([fname]),
-                 pa.array([n], type=pa.int64())],
-                names=["kind", "file", "rows"],
+                 pa.array([n], type=pa.int64()),
+                 pa.array([None], type=pa.string())],
+                names=["kind", "file", "rows", "extra"],
             )
 
     return part_df.mapInArrow(gen, WRITER_SCHEMA)
@@ -835,6 +971,7 @@ def _bucketed_merge(
     spark: SparkSession, seg_dir: str, seg_man: dict, pk_dir: str,
     heavy_terms: list, n_salts: int, max_docid: int, block_size: int,
     merge_kernel: str = "vec", merge_chunk_postings: int | None = None,
+    merge_tasks: int = 32,
 ) -> list:
     """SHUFFLE-FREE merge (merge_strategy="bucketed"): one python task per
     merge bucket reads that bucket's segment files directly with pyarrow
@@ -851,11 +988,10 @@ def _bucketed_merge(
     kernel is deterministic per (term, field, salt) group and routing only
     changes which task a group lands in (tests/test_merge_bucketed.py).
 
-    Buckets are scheduled longest-first (by on-disk bytes) so the heaviest
-    bucket — one stopword-grade keyword plus ~1/B of the Zipf tail — never
-    lands last on a nearly-drained task queue. Returns [(file, rows)]."""
-    import re as _re
-
+    Buckets are scheduled longest-first (by routed row count) so the
+    heaviest bucket — one stopword-grade keyword plus ~1/B of the Zipf
+    tail — never lands last on a nearly-drained task queue. Returns
+    [(file, rows)]."""
     if merge_kernel == "vec":
         inner = make_merge_partition_vec(
             n_salts, max_docid, block_size, merge_chunk_postings
@@ -863,45 +999,69 @@ def _bucketed_merge(
     else:
         inner = make_merge_partition(n_salts, max_docid, block_size)
 
+    rg_map = seg_man.get("rg_buckets")
+    if rg_map is None or set(rg_map) != set(seg_man["files"]):
+        missing = sorted(set(seg_man["files"]) - set(rg_map or {}))
+        raise ValueError(
+            "bucketed merge: segment side manifest carries no bucket→row-"
+            f"group map for {missing[:3]}{'…' if len(missing) > 3 else ''} — "
+            "the segments were not written by the bucketed strategy; "
+            "rebuild or use merge_strategy='shuffle'"
+        )
+    # per bucket: [(file, [row-group indices])] + routed row count
     by: dict = {}
-    for f in seg_man["files"]:
-        m = _re.match(r"terms-mb(\d+)-", f)
-        if m is None:
-            raise ValueError(
-                f"bucketed merge: segment file {f!r} carries no merge-bucket "
-                "routing — the segments were not written by the bucketed "
-                "strategy; rebuild or use merge_strategy='shuffle'"
-            )
-        by.setdefault(int(m.group(1)), []).append(f)
+    rows_of: dict = {}
+    for f, m in rg_map.items():
+        per_file: dict = {}
+        for i, (k, nr) in enumerate(zip(m["rg_keys"], m["rg_rows"])):
+            per_file.setdefault(k, []).append(i)
+            rows_of[k] = rows_of.get(k, 0) + nr
+        for k, idxs in per_file.items():
+            by.setdefault(k, []).append((f, idxs))
     if not by:
         return []
-    sizes = {
-        k: sum(os.path.getsize(os.path.join(seg_dir, f)) for f in fs)
-        for k, fs in by.items()
-    }
-    tasks = sorted(by.items(), key=lambda kv: -sizes[kv[0]])
+    # greedy bin-pack buckets (longest first, by routed rows) into
+    # merge_tasks bins: footer opens scale with tasks x files instead of
+    # buckets x files, and the heaviest bucket leads its bin
+    order = sorted(by, key=lambda k: -rows_of[k])
+    n_bins = min(merge_tasks, len(order))
+    bins: list = [[] for _ in range(n_bins)]
+    bin_rows = [0] * n_bins
+    for k in order:
+        i = bin_rows.index(min(bin_rows))
+        bins[i].append((k, by[k]))
+        bin_rows[i] += rows_of[k]
+    bins.sort(key=lambda b: -sum(rows_of[k] for k, _ in b))
     heavy = sorted(heavy_terms)
 
     def run(it):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        for k, fs in it:
-            parts = [pq.read_table(os.path.join(seg_dir, f)) for f in fs]
-            tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
-            if tbl.num_rows == 0:
-                continue
-            tbl = _salt_explode_table(tbl, heavy, n_salts, max_docid)
-            fname = f"packed-mb{k:04d}-{_task_tag()}.parquet"
-            w = _TaskParquetWriter(os.path.join(pk_dir, fname))
-            for rb in inner(tbl.to_batches()):
-                w.write(rb)
-            n = w.close()
-            if n:
-                yield (fname, n)
+        pf_cache: dict = {}
+
+        def pf(f):
+            if f not in pf_cache:
+                pf_cache[f] = pq.ParquetFile(os.path.join(seg_dir, f))
+            return pf_cache[f]
+
+        for chunk in it:
+            for k, reads in chunk:
+                parts = [pf(f).read_row_groups(idxs) for f, idxs in reads]
+                tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+                if tbl.num_rows == 0:
+                    continue
+                tbl = _salt_explode_table(tbl, heavy, n_salts, max_docid)
+                fname = f"packed-mb{k:04d}-{_task_tag()}.parquet"
+                w = _TaskParquetWriter(os.path.join(pk_dir, fname))
+                for rb in inner(tbl.to_batches()):
+                    w.write(rb)
+                n = w.close()
+                if n:
+                    yield (fname, n)
 
     return (
-        spark.sparkContext.parallelize(tasks, len(tasks))
+        spark.sparkContext.parallelize(bins, len(bins))
         .mapPartitions(run)
         .collect()
     )
@@ -1439,6 +1599,33 @@ def read_segment_terms(spark: SparkSession, out_dir: str) -> DataFrame:
     return read_segments(spark, out_dir).where(F.col("bucket") >= 0)
 
 
+TERMSTAT_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("ctf", T.LongType()),
+    ]
+)
+
+
+def read_termstat_partials(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Per-task partial term stats (written by the bucketed-strategy
+    segment pass): one tiny file per segment task with (term, field)
+    already combined within the task. Aggregating these is equivalent to
+    aggregating the segment metadata columns (sums of partial sums over
+    disjoint docid ranges) but reads ~KBs per task instead of scanning the
+    row-group-fragmented segments table. None when the segments carry no
+    partials (shuffle strategy / legacy layouts)."""
+    seg_dir = f"{out_dir}/segments"
+    man = _side_manifest(seg_dir)
+    if man is None or not man.get("termstat_files"):
+        return None
+    return _read_listed(
+        spark, seg_dir, man["termstat_files"], TERMSTAT_PARTIAL_SCHEMA
+    )
+
+
 def read_packed(spark: SparkSession, out_dir: str) -> tuple[DataFrame, bool]:
     """The packed-blocks table across both layouts. Returns (df, bucketed):
     ``bucketed`` is True under the legacy ``bucket=<b>/`` partition layout
@@ -1578,7 +1765,7 @@ def build_persistent_index(
                 "format": 1,
                 "n_buckets": cfg.n_buckets,
                 "files": sorted(
-                    r["file"] for r in wrows if r["kind"].startswith("terms")
+                    r["file"] for r in wrows if r["kind"] == "terms"
                 ),
                 "marker_files": sorted(
                     r["file"] for r in wrows if r["kind"] == "markers"
@@ -1586,10 +1773,18 @@ def build_persistent_index(
             }
             if cfg.merge_strategy == "bucketed":
                 # the strategy is a property of the segments AS WRITTEN —
-                # the merge phase dispatches on this key, so a resume (or a
-                # differently-configured process) can never shuffle-merge
-                # files that were bucket-routed or vice versa
+                # the merge phase dispatches on these keys, so a resume (or
+                # a differently-configured process) can never shuffle-merge
+                # segments that were bucket-routed or vice versa
                 seg_man["merge_buckets"] = cfg.merge_buckets
+                seg_man["rg_buckets"] = {
+                    r["file"]: json.loads(r["extra"])
+                    for r in wrows
+                    if r["kind"] == "terms" and r["extra"]
+                }
+                seg_man["termstat_files"] = sorted(
+                    r["file"] for r in wrows if r["kind"] == "termstats"
+                )
             _write_side_manifest(seg_dir, seg_man)
         else:
             # python reference kernel: JVM partitioned write (the layout the
@@ -1710,13 +1905,23 @@ def build_persistent_index(
             )
 
         def write_term_stats():
-            (
-                read_segment_terms(spark, out)
-                .groupBy("term", "field")
-                .agg(
-                    F.sum("n").cast("long").alias("df"),
-                    F.sum("ctf_part").cast("long").alias("ctf"),
+            parts = read_termstat_partials(spark, out)
+            if parts is not None:
+                src = parts.groupBy("term", "field").agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("ctf").cast("long").alias("ctf"),
                 )
+            else:
+                src = (
+                    read_segment_terms(spark, out)
+                    .groupBy("term", "field")
+                    .agg(
+                        F.sum("n").cast("long").alias("df"),
+                        F.sum("ctf_part").cast("long").alias("ctf"),
+                    )
+                )
+            (
+                src
                 .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_buckets))
                 .observe(ts_obs, F.count(F.lit(1)).alias("n"))
                 .write.mode("overwrite")
@@ -1779,12 +1984,20 @@ def build_persistent_index(
     # instead of a per-bucket broadcast-join sub-job. Computed from the
     # segment METADATA columns (sum of per-segment df parts), NOT from
     # term_stats — the merge must not wait on the stats stage it overlaps.
+    _ts_parts = read_termstat_partials(spark, out)
+    if _ts_parts is not None:
+        heavy_src = _ts_parts.groupBy("term", "field").agg(
+            F.sum("df").alias("df")
+        )
+    else:
+        heavy_src = (
+            read_segment_terms(spark, out)
+            .groupBy("term", "field")
+            .agg(F.sum("n").alias("df"))
+        )
     heavy_terms = [
         r["term"]
-        for r in read_segment_terms(spark, out)
-        .groupBy("term", "field")
-        .agg(F.sum("n").alias("df"))
-        .where(F.col("df") > threshold)
+        for r in heavy_src.where(F.col("df") > threshold)
         .select("term")
         .distinct()
         .collect()
@@ -1867,7 +2080,7 @@ def build_persistent_index(
             wfiles = _bucketed_merge(
                 spark, f"{out}/segments", seg_man_d, pk_dir, heavy_terms,
                 n_salts, max_docid, block_size, cfg.merge_kernel,
-                cfg.merge_chunk_postings,
+                cfg.merge_chunk_postings, cfg.merge_tasks,
             )
         else:
             segs_all = read_segment_terms(spark, out).drop("bucket")

@@ -55,28 +55,70 @@ def both_builds(spark, code_docs, tmp_path_factory):
     return roots
 
 
+def _listed_fingerprint(root: str, names: list) -> str:
+    """Row-set fingerprint of the manifest-LISTED segment files only (the
+    bucketed layout adds termstat-partial side files by design)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in names:
+        tbl = pq.read_table(os.path.join(root, "segments", f))
+        cols = sorted(tbl.column_names)
+        rows.extend(map(repr, zip(*[tbl.column(c).to_pylist() for c in cols])))
+    rows.sort()
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
 def test_bucketed_identical_to_shuffle(both_builds):
     fp_s = _dir_fingerprint(both_builds["shuffle"])
     fp_b = _dir_fingerprint(both_builds["bucketed"])
-    for t in ("doc_ids", "doc_stats", "term_stats", "segments", "packed"):
+    for t in ("doc_ids", "doc_stats", "term_stats", "packed"):
         assert fp_s[t] == fp_b[t], f"{t} differs between merge strategies"
+    # segment ROWS identical too — routing only changes file/row-group
+    # placement (whole-dir hashing would see the termstat side files)
+    fps = []
+    for strat in ("shuffle", "bucketed"):
+        man = _side_manifest(f"{both_builds[strat]}/segments")
+        fps.append(
+            _listed_fingerprint(
+                both_builds[strat], man["files"] + man["marker_files"]
+            )
+        )
+    assert fps[0] == fps[1], "segment rows differ between merge strategies"
 
 
 def test_bucketed_layout_and_manifest(both_builds):
+    import pyarrow.parquet as pq
+
     out = both_builds["bucketed"]
     man = _side_manifest(f"{out}/segments")
     assert man["merge_buckets"] == 8
     assert man["files"], "no term files committed"
-    assert all(f.startswith("terms-mb") for f in man["files"])
-    # more than one bucket actually materialized (vocab >> 8 buckets)
-    buckets = {f.split("-")[1] for f in man["files"]}
-    assert len(buckets) > 1
+    # same file count/naming as the shuffle strategy — routing lives in
+    # row groups, not in a small-file explosion
+    assert set(man["rg_buckets"]) == set(man["files"])
+    buckets = set()
+    for f in man["files"]:
+        m = man["rg_buckets"][f]
+        pf = pq.ParquetFile(os.path.join(out, "segments", f))
+        assert pf.metadata.num_row_groups == len(m["rg_keys"])
+        assert [pf.metadata.row_group(i).num_rows
+                for i in range(pf.metadata.num_row_groups)] == m["rg_rows"]
+        # row groups are key-exclusive: every term in rg i hashes to key i
+        from search_engine_spark.index.persist import _mbucket_of
+
+        for i, k in enumerate(m["rg_keys"]):
+            terms = pf.read_row_group(i, columns=["term"]).column(0).to_pylist()
+            assert {_mbucket_of(t, man["merge_buckets"]) for t in set(terms)} == {k}
+        buckets.update(m["rg_keys"])
+    assert len(buckets) > 1  # vocab actually spread over buckets
     pk = _side_manifest(f"{out}/packed")
     assert all(f.startswith("packed-mb") for f in pk["files"])
     # shuffle layout untouched by the change
     man_s = _side_manifest(f"{both_builds['shuffle']}/segments")
-    assert "merge_buckets" not in man_s
-    assert all(f.startswith("terms-") and "-mb" not in f for f in man_s["files"])
+    assert "merge_buckets" not in man_s and "rg_buckets" not in man_s
 
 
 def test_resume_after_crash_before_merge(
@@ -105,7 +147,7 @@ def test_resume_after_crash_before_merge(
 def test_unrouted_files_are_refused(spark, tmp_path):
     seg_dir = str(tmp_path / "segments")
     os.makedirs(seg_dir)
-    with pytest.raises(ValueError, match="no merge-bucket routing"):
+    with pytest.raises(ValueError, match="no bucket→row-group map"):
         _bucketed_merge(
             spark, seg_dir,
             {"files": ["terms-00000-abc.parquet"], "merge_buckets": 8},

@@ -198,6 +198,12 @@ def main() -> None:
     except Exception:
         _chunk = os.environ.get("SPARK_GRAFT_MERGE_CHUNK", "unknown")
     pin_note += f" (chunk={_chunk})"
+    # Tag the merge strategy (round 4: shuffle-free bucketed merge A/B) —
+    # scaling_summary segments on the methodology string, so shuffle rows
+    # and bucketed rows must never pool.
+    _strat = os.environ.get("SPARK_GRAFT_MERGE_STRATEGY", "shuffle")
+    if _strat != "shuffle":
+        pin_note += f" (merge={_strat})"
     if args.executor_cores:
         ec = args.executor_cores
         lo_lbl = f"{args.low // ec}x{ec}-core executors"
