@@ -52,6 +52,15 @@ def main() -> None:
         "2x total cores; at cluster scale set to segment-bytes / ~128MB)",
     )
     ap.add_argument(
+        "--merge-strategy", choices=["shuffle", "bucketed"],
+        default=os.environ.get("SPARK_GRAFT_MERGE_STRATEGY") or "shuffle",
+        help="'bucketed' = shuffle-free merge: segment tasks route term "
+        "rows into key-exclusive parquet row groups so the merge reads "
+        "each bucket directly (bit-identical output; removes the shuffle-"
+        "map co-residency penalty on multi-executor clusters — "
+        "BENCH_SCALING.md chain-22)",
+    )
+    ap.add_argument(
         "--analyzer", default="code", metavar="NAME",
         help="analyzer for content tokenization: code (default; identifier "
         "split + language-keyword stopwords), whitespace, or english (the "
@@ -107,6 +116,7 @@ def main() -> None:
                 salt_threshold=args.salt_threshold, block_size=args.block_size,
                 fields={"body": "content"},
                 tokenizer=tokenizer_by_name(args.analyzer),
+                merge_strategy=args.merge_strategy,
             ),
             resume=False,
         )
@@ -121,6 +131,7 @@ def main() -> None:
         merge_partitions=args.merge_partitions or None,
         fields={"body": "content"},
         tokenizer=tokenizer_by_name(args.analyzer),
+        merge_strategy=args.merge_strategy,
     )
     counters = build_persistent_index(spark, docs, cfg, resume=not args.no_resume)
     wall = time.time() - t0

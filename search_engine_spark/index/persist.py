@@ -139,8 +139,8 @@ class BuildConfig:
     # append / streaming interop needs no config coupling: the merge phase
     # dispatches on what the side manifest says, not on cfg.
     merge_strategy: str = dc_field(
-        default_factory=lambda: os.environ.get(
-            "SPARK_GRAFT_MERGE_STRATEGY", "shuffle"
+        default_factory=lambda: (
+            os.environ.get("SPARK_GRAFT_MERGE_STRATEGY") or "shuffle"
         )
     )
     # bucket count for the bucketed strategy. Fixed (NOT parallelism-
