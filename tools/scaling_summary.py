@@ -71,6 +71,9 @@ def level_tags(label: str) -> str:
     ck = re.search(r"\(chunk=(\d+)\)", label)
     if ck:
         tags.append(f"chunk={ck.group(1)}")
+    ms = re.search(r"\(merge=(\w+)\)", label)
+    if ms:
+        tags.append(f"merge={ms.group(1)}")
     mp = re.search(r"\(mp(\d+)\)", label)
     if mp:
         tags.append(f"mp{mp.group(1)}")
