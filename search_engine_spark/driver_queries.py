@@ -568,6 +568,64 @@ _register(
 )
 
 
+# -- shuffle-free bucketed merge (index/persist.py merge_strategy) ------------
+# an index built with merge_strategy="bucketed" (segment rows routed into
+# key-exclusive parquet row groups at write time; merge reads each bucket
+# directly — NO shuffle) must be query-identical to the shuffle build. The
+# oracle is the SAME full-corpus SQL as bm25_sum_topk, so a bitwise pass
+# proves the shuffle-free plan end-to-end under the driver gate (pytest
+# additionally proves all five tables bit-identical:
+# tests/test_merge_bucketed.py).
+
+
+def _q_bm25_bucketed_build_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from search_engine_spark.index.persist import (
+        BuildConfig, PackedIndex, build_persistent_index,
+    )
+
+    key = ("bucketed_build", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            (F.col("doc_id").cast("long") + 1).alias("docid"),
+            F.col("doc_id").cast("string").alias("ext_docid"),
+            "text", "lang", "source",
+        )
+        out = _os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_bucketed_{_os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = BuildConfig(
+            out_dir=out, fields=DOC_FIELDS, tokenizer=WHITESPACE_TOKENIZER,
+            n_buckets=8, merge_strategy="bucketed", merge_buckets=16,
+            merge_tasks=8,
+        )
+        build_persistent_index(spark, docs, cfg, resume=False)
+        pidx = PackedIndex(spark, out)
+        pidx.doc_ids = pidx.doc_ids.select(
+            "docid", F.col("ext_docid").cast("long").alias("ext_docid")
+        )
+        _INDEX_CACHE[key] = pidx
+    eng = Engine(_INDEX_CACHE[key], ModelConfig(name=BM25))
+    return eng.search(" ".join(FLAGSHIP_TERMS), 100).select(
+        "rank", F.col("ext_docid").cast("long").alias("docid"), "score"
+    )
+
+
+_register(
+    "bm25_bucketed_build_topk",
+    _q_bm25_bucketed_build_topk,
+    SQL_PRELUDE
+    + ","
+    + _bm25_scores_cte(FLAGSHIP_TERMS)
+    + ",\nagg AS (SELECT doc_id, sum(score) AS score FROM scores GROUP BY 1)"
+    + _topk_sql(100),
+)
+
+
 # -- P1: field-qualified retrieval (term.field) -------------------------------
 # the reference's multi-field reality (hw1/QryEval/mengyuy.qry queries
 # body/title/url/inlink slots; QryEval.java qualifies terms as term.field):
