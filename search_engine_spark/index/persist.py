@@ -138,9 +138,14 @@ class BuildConfig:
     # segments AS WRITTEN (recorded in segments/_manifest.json), so resume /
     # append / streaming interop needs no config coupling: the merge phase
     # dispatches on what the side manifest says, not on cfg.
+    # Default is "bucketed" (round 5): bit-identical to the shuffle path
+    # (tests/test_merge_bucketed.py), wins every same-window multi-JVM A/B
+    # (300k eff 0.725 vs 0.485, 1M 0.591 vs 0.516, 4-core walls 18-38%
+    # shorter), and interop is config-decoupled via the segment side
+    # manifest. "shuffle" stays as the explicit fallback.
     merge_strategy: str = dc_field(
         default_factory=lambda: (
-            os.environ.get("SPARK_GRAFT_MERGE_STRATEGY") or "shuffle"
+            os.environ.get("SPARK_GRAFT_MERGE_STRATEGY") or "bucketed"
         )
     )
     # bucket count for the bucketed strategy. Fixed (NOT parallelism-
@@ -697,8 +702,14 @@ class _KeyedRowGroupWriter:
         self._nbytes[key] = self._nbytes.get(key, 0) + rb.nbytes
         self._total += rb.nbytes
         self.rows += rb.num_rows
+        # on overflow, flush largest keys until the buffer drops below half
+        # the bound: flushing only the single largest key settles into one
+        # small (~buffer/buckets) row group per incoming batch once rows
+        # spread evenly across buckets, fragmenting row groups and bloating
+        # the footers the merge must open
         if self._total >= self.FLUSH_BYTES:
-            self._flush_key(max(self._nbytes, key=self._nbytes.get))
+            while self._total >= self.FLUSH_BYTES // 2 and self._nbytes:
+                self._flush_key(max(self._nbytes, key=self._nbytes.get))
 
     def _flush_key(self, k: int) -> None:
         import pyarrow as pa
@@ -815,6 +826,10 @@ def _segment_writer_rows(docs: DataFrame, cfg: BuildConfig, seg_dir: str) -> Dat
                     e[1] += int(c)
 
         def write_terms(rb) -> None:
+            if rb.num_rows == 0:
+                # zero-row batch would make bounds [0, 0] below and the
+                # routing loop would index sb[0] -> IndexError
+                return
             if not n_mb:
                 sink("terms").write(rb)
                 return
@@ -1002,11 +1017,24 @@ def _bucketed_merge(
     rg_map = seg_man.get("rg_buckets")
     if rg_map is None or set(rg_map) != set(seg_man["files"]):
         missing = sorted(set(seg_man["files"]) - set(rg_map or {}))
+        extra = sorted(set(rg_map or {}) - set(seg_man["files"]))
+        parts = []
+        if missing:
+            parts.append(
+                "no bucket→row-group map for "
+                f"{missing[:3]}{'…' if len(missing) > 3 else ''}"
+            )
+        if extra:
+            parts.append(
+                "row-group map entries for files absent from the manifest: "
+                f"{extra[:3]}{'…' if len(extra) > 3 else ''}"
+            )
         raise ValueError(
-            "bucketed merge: segment side manifest carries no bucket→row-"
-            f"group map for {missing[:3]}{'…' if len(missing) > 3 else ''} — "
-            "the segments were not written by the bucketed strategy; "
-            "rebuild or use merge_strategy='shuffle'"
+            "bucketed merge: segment side manifest is inconsistent ("
+            + "; ".join(parts or ["rg_buckets missing"])
+            + ") — the segments were not written by the bucketed strategy "
+            "(or the manifest is corrupt); rebuild or use "
+            "merge_strategy='shuffle'"
         )
     # per bucket: [(file, [row-group indices])] + routed row count
     by: dict = {}
@@ -1788,7 +1816,20 @@ def build_persistent_index(
             _write_side_manifest(seg_dir, seg_man)
         else:
             # python reference kernel: JVM partitioned write (the layout the
-            # streaming ingest also uses); map-side partitionBy, no shuffle
+            # streaming ingest also uses); map-side partitionBy, no shuffle.
+            # This path has no bucket router, so a configured bucketed merge
+            # strategy cannot apply — say so instead of silently dropping it
+            # (the merge phase dispatches on the side manifest and will
+            # correctly fall back to the shuffle merge).
+            if cfg.merge_strategy == "bucketed":
+                import warnings
+
+                warnings.warn(
+                    "merge_strategy='bucketed' requires kernel='arrow'; the "
+                    f"python kernel writes unrouted segments, so this build "
+                    "falls back to the shuffle merge",
+                    stacklevel=2,
+                )
             obs, segs = observed_segment_rows(docs, cfg, "lineage")
             segs.write.mode("overwrite").partitionBy("bucket").parquet(
                 f"{out}/segments"

@@ -201,7 +201,13 @@ def main() -> None:
     # Tag the merge strategy (round 4: shuffle-free bucketed merge A/B) —
     # scaling_summary segments on the methodology string, so shuffle rows
     # and bucketed rows must never pool.
-    _strat = os.environ.get("SPARK_GRAFT_MERGE_STRATEGY", "shuffle")
+    # resolve exactly like BuildConfig does (its default_factory reads the
+    # same env var with `or`-normalization, so an empty-string env var and
+    # the shipped default both tag correctly)
+    try:
+        _strat = _BC.__dataclass_fields__["merge_strategy"].default_factory()
+    except Exception:
+        _strat = os.environ.get("SPARK_GRAFT_MERGE_STRATEGY") or "shuffle"
     if _strat != "shuffle":
         pin_note += f" (merge={_strat})"
     if args.executor_cores:
