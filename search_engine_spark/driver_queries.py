@@ -1097,14 +1097,17 @@ def _indri_mf_default_sql(term: str, fld: str, doclen_expr: str) -> str:
     )
 
 
-def _indri_mf_join_sql(pairs: list[tuple[str, str]]) -> str:
+def _indri_mf_join_sql(pairs: list[tuple[str, str]], sfx: str = "") -> str:
     """Multi-field twin of _indri_join_sql: per-leaf actual scores from the
     leaf's field tables, defaults on the doc's doclen in that field
-    (coalesced to 0 for docs with no tokens there — ops.py:483-485)."""
+    (coalesced to 0 for docs with no tokens there — ops.py:483-485).
+    ``sfx`` disambiguates CTE names when several queries share one
+    statement (the batched oracle)."""
     in_list = ", ".join(f"('{t}', '{f}')" for t, f in pairs)
-    cands = f"cands AS (SELECT DISTINCT doc_id FROM ftfs WHERE (term, field) IN ({in_list}))"
+    cn, pn = f"cands{sfx}", f"per{sfx}"
+    cands = f"{cn} AS (SELECT DISTINCT doc_id FROM ftfs WHERE (term, field) IN ({in_list}))"
     ctes = [
-        f"""s{i} AS (
+        f"""s{sfx}_{i} AS (
   SELECT t.doc_id, {_indri_mf_term_score_sql(t_, f_)} AS s
   FROM ftfs t JOIN fdl l ON l.doc_id = t.doc_id AND l.field = '{f_}'
   WHERE t.term = '{t_}' AND t.field = '{f_}'
@@ -1113,19 +1116,20 @@ def _indri_mf_join_sql(pairs: list[tuple[str, str]]) -> str:
     ]
     dl_joins = "\n  ".join(
         f"LEFT JOIN (SELECT doc_id, doclen FROM fdl WHERE field = '{f_}') l{i}"
-        f" ON l{i}.doc_id = cands.doc_id"
+        f" ON l{i}.doc_id = {cn}.doc_id"
         for i, (_, f_) in enumerate(pairs)
     )
     s_joins = "\n  ".join(
-        f"LEFT JOIN s{i} ON s{i}.doc_id = cands.doc_id" for i in range(len(pairs))
+        f"LEFT JOIN s{sfx}_{i} ON s{sfx}_{i}.doc_id = {cn}.doc_id"
+        for i in range(len(pairs))
     )
     cols = ", ".join(
-        f"coalesce(s{i}.s, {_indri_mf_default_sql(t_, f_, f'coalesce(l{i}.doclen, 0)')}) AS c{i}"
+        f"coalesce(s{sfx}_{i}.s, {_indri_mf_default_sql(t_, f_, f'coalesce(l{i}.doclen, 0)')}) AS c{i}"
         for i, (t_, f_) in enumerate(pairs)
     )
-    per = f"""per AS (
-  SELECT cands.doc_id, {cols}
-  FROM cands
+    per = f"""{pn} AS (
+  SELECT {cn}.doc_id, {cols}
+  FROM {cn}
   {dl_joins}
   {s_joins}
 )"""
@@ -1153,6 +1157,80 @@ def _wsum_mf_sql(spec, k: int) -> str:
 
 
 _register("indri_wsum_mf_topk", _q_indri_wsum_mf_topk, _wsum_mf_sql(_MF_WSUM_SPEC, 100))
+
+
+# -- batched MIXED-FIELD Indri execution (engine/batch.py, VERDICT r04 item 3) -
+# hw3's multi-field #WSUM headline shape as ONE job for a whole query file:
+# the single-field batch plan plus a per-docid field→doclen map joined AFTER
+# the (qid, docid) aggregate; per-child c_len / ctf / field index ride the
+# broadcast constants array. Bitwise ≡ per-query Engine.search
+# (tests/test_batch.py::test_indri_batch_mixed_fields_matches_per_query).
+
+INDRI_MF_BATCH_QUERY_SET = [
+    ("m1", "#WSUM(0.5 spark.body 0.3 de.lang 0.2 src7.source)",
+     ("wsum", [0.5, 0.3, 0.2],
+      [("spark", "body"), ("de", "lang"), ("src7", "source")])),
+    ("m2", "#WAND(0.7 query.body 0.2 de.lang 0.1 src7.source)",
+     ("wand", [0.7, 0.2, 0.1],
+      [("query", "body"), ("de", "lang"), ("src7", "source")])),
+    ("m3", "#AND(spark.body de.lang)",
+     ("and", None, [("spark", "body"), ("de", "lang")])),
+    # absent-in-field leaf: 'query' never appears in lang → ctf=0 default
+    ("m4", "#WSUM(0.6 table.body 0.4 query.lang)",
+     ("wsum", [0.6, 0.4], [("table", "body"), ("query", "lang")])),
+]
+
+
+def _q_indri_batch_mf_topk(spark, sf_dir):
+    from search_engine_spark.engine.batch import batch_topk
+
+    eng = _engine(spark, sf_dir, INDRI)
+    qs = [(qid, text) for qid, text, _ in INDRI_MF_BATCH_QUERY_SET]
+    return batch_topk(eng, qs, 100).select(
+        "qid", "rank", F.col("docid").cast("long").alias("docid"),
+        # pow-based scores: f32-round the REPORTED value on both sides
+        F.col("score").cast("float").cast("double").alias("score"),
+    )
+
+
+def _indri_batch_mf_sql(k: int) -> str:
+    parts, sels = [], []
+    for j, (qid, _, (kind, weights, pairs)) in enumerate(INDRI_MF_BATCH_QUERY_SET):
+        sfx = f"_m{j}"
+        parts.append(_indri_mf_join_sql(pairs, sfx))
+        if kind == "and":
+            prod = " * ".join(f"c{i}" for i in range(len(pairs)))
+            expr = f"pow({prod}, (1.0 / {len(pairs)}))"
+        elif kind == "wand":
+            W = sum(weights)
+            expr = "1.0"
+            for i, w in enumerate(weights):
+                expr = f"{expr} * pow(c{i}, {w / W!r})"
+        else:
+            W = sum(weights)
+            expr = "0.0"
+            for i, w in enumerate(weights):
+                expr = f"{expr} + c{i} * {w / W!r}"
+        sels.append(
+            f"SELECT '{qid}' AS qid, doc_id, {expr} AS score FROM per{sfx}"
+        )
+    return (
+        MF_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + ",\nallq AS (\n  "
+        + "\n  UNION ALL ".join(sels)
+        + f"""),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id AS docid, CAST(CAST(score AS REAL) AS DOUBLE) AS score
+  FROM allq)
+SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
+    )
+
+
+_register("indri_batch_mf_topk", _q_indri_batch_mf_topk, _indri_batch_mf_sql(100))
 
 
 # -- PRF expansion (two-round) ------------------------------------------------

@@ -148,13 +148,14 @@ def _indri_query_spec(
 def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     """[(qid, text)] -> (qid, docid, score) for flat Indri #AND/#WAND/#WSUM.
 
-    One union postings scan + broadcast (qid, ci, term) fan-out + ONE
-    (qid, docid) aggregation; the candidate key set per qid is the union of
-    its children's posting lists (a group exists iff >=1 leaf matched), and
-    missing children take their default score post-agg — see module
-    docstring. All leaves across the batch must share one field (the
-    per-field corpus length is a plan constant; mixed-field queries take the
-    per-query ``_indri_pivot_scores_mf`` path instead)."""
+    One union postings scan + broadcast (qid, ci, term, field) fan-out +
+    ONE (qid, docid) aggregation; the candidate key set per qid is the
+    union of its children's posting lists (a group exists iff >=1 leaf
+    matched), and missing children take their default score post-agg — see
+    module docstring. Mixed-field batches (hw3's multi-field #WSUM shape)
+    additionally join a per-docid field→doclen map AFTER the aggregate
+    (bounded candidate set x filtered doc_stats), with per-child c_len and
+    field index riding the broadcast constants array."""
     from search_engine_spark.engine import score as score_mod
 
     if eng.model.name != INDRI:
@@ -164,19 +165,20 @@ def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame
     fields = {f for _, _, leaves in specs.values() for _, f in leaves}
     if not fields:
         return spark.createDataFrame([], "qid string, docid long, score double")
-    if len(fields) != 1:
-        raise ValueError(
-            f"Indri batch requires a single field across the batch, got "
-            f"{sorted(fields)} — run mixed-field queries per-query"
-        )
-    fld = fields.pop()
-    c_len = eng.index.corpus.sum_doclen(fld)
+    multi_field = len(fields) > 1
+    flds = sorted(fields)
+    fidx = {f: j for j, f in enumerate(flds)}
+    # per-FIELD corpus length: a plan constant on the single-field path; on
+    # the mixed-field path it rides the per-child constants array (like the
+    # single-query mf pivot's per-child c_len, ops._indri_pivot_scores_mf)
+    c_len_of = {f: eng.index.corpus.sum_doclen(f) for f in flds}
     p = eng.model.indri
     eng.ctx.prefetch_terms({(t, f) for _, _, lv in specs.values() for t, f in lv})
 
-    # broadcast dimensions: (qid, ci, term) leaf fan-out + per-qid constants
-    # array ordered by child index (ctf constant-folds into the score
-    # expression on the single-query path; here it rides the tiny array)
+    # broadcast dimensions: (qid, ci, term, field) leaf fan-out + per-qid
+    # constants array ordered by child index (ctf constant-folds into the
+    # score expression on the single-query path; here it rides the tiny
+    # array, as do the per-child c_len and field index)
     qleaf, qmeta = [], []
     for qid, (kind, weights, leaves) in specs.items():
         if not leaves:  # all children stopword-popped: no candidates, no rows
@@ -184,51 +186,100 @@ def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame
         W = float(sum(weights)) if weights is not None else 0.0
         arr = []
         for ci, (t, f) in enumerate(leaves):
-            qleaf.append((qid, ci, t))
+            qleaf.append((qid, ci, t, f))
             w = (
                 (weights[ci] / W if W != 0 else math.nan)
                 if weights is not None
                 else 0.0
             )
             _, ctf = eng.ctx.term_stat(t, f)
-            arr.append((ci, float(ctf), w))
+            arr.append((ci, float(ctf), w, float(c_len_of[f]), fidx[f]))
         # '#AND' geo-mean exponent, python-derived like the single-query
         # F.lit(1.0 / len(children)) so Math.pow sees an identical double
         qmeta.append((qid, kind, 1.0 / len(leaves), arr))
 
-    pairs = sorted({(t, fld) for _, _, lv in specs.values() for t, _ in lv})
+    pairs = sorted({(t, f) for _, _, lv in specs.values() for t, f in lv})
     scan = eng.ctx.index.postings_for(pairs)
-    qleaf_df = spark.createDataFrame(qleaf, "qid string, ci int, term string")
+    qleaf_df = spark.createDataFrame(
+        qleaf, "qid string, ci int, term string, field string"
+    )
     qmeta_df = spark.createDataFrame(
         qmeta,
         "qid string, _kind string, _exp double, "
-        "_arr array<struct<ci:int, ctf:double, w:double>>",
+        "_arr array<struct<ci:int, ctf:double, w:double, cl:double, fi:int>>",
     )
 
-    grouped = (
-        scan.select("term", "docid", "tf", "doclen")
-        .join(F.broadcast(qleaf_df), "term")
-        .groupBy("qid", "docid")
-        .agg(
-            F.collect_list(F.struct("ci", "tf")).alias("_ents"),
-            F.max("doclen").alias("_dl"),
+    if not multi_field:
+        # single-field fast path: every child's doclen is the doc's length
+        # in THE field, carried by the posting rows themselves — one shuffle
+        grouped = (
+            scan.select("term", "field", "docid", "tf", "doclen")
+            .join(F.broadcast(qleaf_df), ["term", "field"])
+            .groupBy("qid", "docid")
+            .agg(
+                F.collect_list(F.struct("ci", "tf")).alias("_ents"),
+                F.max("doclen").alias("_dl"),
+            )
+            .select(
+                "qid", "docid",
+                F.map_from_entries("_ents").alias("_tfmap"), "_dl",
+            )
+            .join(F.broadcast(qmeta_df), "qid")
         )
-        .select(
-            "qid", "docid",
-            F.map_from_entries("_ents").alias("_tfmap"), "_dl",
+    else:
+        # mixed-field (hw3's `#WSUM(w a.content w b.path)` shape, batched —
+        # reference hw3/QryEval/mengyuy-HW3-Report.pdf §2): a missing
+        # child's default score needs the doc's length in THAT child's
+        # field, which no posting row of another field carries. The
+        # single-query mf pivot unions per-field doc_stats rows into its
+        # aggregate; HERE that would fan |docs|x|fields| rows out per qid,
+        # so instead the per-docid field→doclen map joins AFTER the
+        # (qid, docid) aggregate — the join's left side is the bounded
+        # candidate set, and doc_stats is filtered to the batch's fields
+        # before its own docid-keyed aggregate. A doc with no tokens in a
+        # child's field has no doc_stats row: doclen 0 in that child's
+        # default, the ScoreNode quirk the mf pivot documents.
+        fi_expr = F.col("field")
+        for f, j in fidx.items():
+            fi_expr = F.when(F.col("field") == f, F.lit(j)).otherwise(fi_expr)
+        dstats = (
+            eng.index.doc_stats.where(F.col("field").isin(flds))
+            .select(
+                "docid",
+                fi_expr.cast("int").alias("_fi"),
+                F.col("doclen").cast("long").alias("doclen"),
+            )
+            .groupBy("docid")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_fi", "doclen"))
+                ).alias("_dlmap")
+            )
         )
-        .join(F.broadcast(qmeta_df), "qid")
-    )
+        grouped = (
+            scan.select("term", "field", "docid", "tf")
+            .join(F.broadcast(qleaf_df), ["term", "field"])
+            .groupBy("qid", "docid")
+            .agg(F.collect_list(F.struct("ci", "tf")).alias("_ents"))
+            .select("qid", "docid", F.map_from_entries("_ents").alias("_tfmap"))
+            .join(dstats, "docid", "left")
+            .join(F.broadcast(qmeta_df), "qid")
+        )
 
     def _s(x):
         # per-child score: actual if this doc had the term, default otherwise
         # — the same score_mod expressions the single-query pivot emits
         tf = F.element_at(F.col("_tfmap"), x["ci"])
+        if multi_field:
+            dl = F.element_at(F.col("_dlmap"), x["fi"])
+            dl_def = F.coalesce(dl, F.lit(0).cast("long"))
+        else:
+            dl = dl_def = F.col("_dl")
         actual = score_mod.indri_score(
-            ctf=x["ctf"], c_len=c_len, p=p, tf=tf, doclen=F.col("_dl")
+            ctf=x["ctf"], c_len=x["cl"], p=p, tf=tf, doclen=dl
         )
         default = score_mod.indri_default_score(
-            ctf=x["ctf"], c_len=c_len, p=p, doclen=F.col("_dl")
+            ctf=x["ctf"], c_len=x["cl"], p=p, doclen=dl_def
         )
         return F.when(tf.isNotNull(), actual).otherwise(default)
 
@@ -297,9 +348,7 @@ def split_batchable(
                 if "#" in text:
                     raise ValueError("structured")
             elif eng.model.name == INDRI:
-                _, _, leaves = _indri_query_spec(eng, qid, text)
-                if any(f != eng.default_field for _, f in leaves):
-                    raise ValueError("non-default field")
+                _indri_query_spec(eng, qid, text)
             elif eng.model.name in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
                 _bool_query_spec(eng, qid, text)
             else:

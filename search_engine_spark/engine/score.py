@@ -78,7 +78,10 @@ def indri_score(
     tf = (F.col("tf") if tf is None else tf).cast("double")
     doclen = (F.col("doclen") if doclen is None else doclen).cast("double")
     ctfc = F.lit(ctf).cast("double") if not isinstance(ctf, Column) else ctf.cast("double")
-    mle = ctfc / F.lit(float(c_len))
+    clc = (
+        F.lit(float(c_len)) if not isinstance(c_len, Column) else c_len.cast("double")
+    )
+    mle = ctfc / clc
     # association matches the reference exactly: part1 = (1-λ)·((tf+µ·mle)/(doclen+µ))
     # — note the DEFAULT path below associates differently ((1-λ)·(µ·mle))/(doclen+µ),
     # as the Java does; the two differ in ulps, and ranks depend on it.
@@ -100,7 +103,10 @@ def indri_default_score(
     (QryopSlScore.java:178-195) — used by the full-outer Indri combinators."""
     doclen = (F.col("doclen") if doclen is None else doclen).cast("double")
     ctfc = F.lit(ctf).cast("double") if not isinstance(ctf, Column) else ctf.cast("double")
-    mle = ctfc / F.lit(float(c_len))
+    clc = (
+        F.lit(float(c_len)) if not isinstance(c_len, Column) else c_len.cast("double")
+    )
+    mle = ctfc / clc
     # NOT float32-cast: getDefaultScore returns a raw double (the float cast
     # happens only on the evaluate path's docScores.add) — QryopSlScore.java:195
     return (

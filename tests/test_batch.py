@@ -116,10 +116,31 @@ def test_indri_batch_salt_invariance(code_index):
     assert a == b
 
 
-def test_indri_batch_rejects_mixed_fields(code_index):
+INDRI_MF_BATCH = [
+    ("m1", "#WSUM(0.5 lock.body 0.3 python.lang 0.2 src.path)"),
+    ("m2", "#WAND(0.7 queue.body 0.2 go.lang 0.1 parse.path)"),
+    ("m3", "#AND(lock.body python.lang)"),
+    # absent-in-field leaf: 'queue' never appears in lang, ctf=0 default
+    ("m4", "#WSUM(0.6 lock.body 0.4 queue.lang)"),
+    ("m5", "lock.path queue"),             # off-default field + default field
+    ("m6", "lock free queue"),             # single-field query in an mf batch
+    ("m7", "#WSUM(0.9 src.path 0.1 go.lang)"),  # no default-field leaf at all
+]
+
+
+def test_indri_batch_mixed_fields_matches_per_query(code_index):
+    """Mixed-field batches (hw3's multi-field #WSUM headline shape) run
+    through the batched one-scan plan and stay bitwise-identical to
+    per-query Engine.search — including absent-in-field ctf=0 defaults and
+    docs with no tokens in a child's field (doclen->0 quirk)."""
     eng = _ind(code_index)
-    with pytest.raises(ValueError, match="single field"):
-        batch_topk(eng, [("q1", "lock.path queue")], K)
+    got = _by_qid(batch_topk(eng, INDRI_MF_BATCH, K))
+    for qid, text in INDRI_MF_BATCH:
+        want = [
+            (r["rank"], r["docid"], r["ext_docid"], r["score"])
+            for r in eng.search(text, K).collect()
+        ]
+        assert got.get(qid, []) == want, f"{qid} diverges from Engine.search"
 
 
 # -- Boolean batch ------------------------------------------------------------
@@ -172,8 +193,9 @@ def test_split_batchable(code_index):
 
     ind = _ind(code_index)
     good, rest = split_batchable(ind, mixed + [("q4", "lock.path queue")])
-    assert [q for q, _ in good] == ["q1", "q3"]  # flat #AND batches under Indri
-    assert [q for q, _ in rest] == ["q2", "q4"]  # positional + non-default field
+    # flat #AND and mixed-field queries both batch under Indri (round 5)
+    assert [q for q, _ in good] == ["q1", "q3", "q4"]
+    assert [q for q, _ in rest] == ["q2"]  # positional stays per-query
 
     rb = Engine(
         code_index, ModelConfig(name=RANKED_BOOLEAN), tokenizer=CODE_TOKENIZER
