@@ -775,20 +775,18 @@ def _il_query(spark, sf_dir, qtext: str):
 _RECURSIVE_PRELUDE = SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
-def _near2_sql(t1: str, t2: str, n: int) -> str:
-    """2-arg #NEAR/n: the two-pointer consume walk — if B[j] <= A[i] advance
-    j; elif within distance, match A[i] and consume both; else advance i."""
-    return (
-        _RECURSIVE_PRELUDE
-        + f""",
-pl AS (
+def _near2_walk_ctes(t1: str, t2: str, n: int, sfx: str = "") -> str:
+    """CTE chain for the 2-arg #NEAR/n consume walk, ending in
+    ``final{sfx}`` (one best-state row per doc). ``sfx`` disambiguates when
+    several walks share one WITH RECURSIVE clause (the SDM batch oracle)."""
+    return f"""pl{sfx} AS (
   SELECT a.doc_id, a.ps AS pa, b.ps AS pb
   FROM (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = '{t1}' GROUP BY 1) a
   JOIN (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = '{t2}' GROUP BY 1) b
   USING (doc_id)
 ),
-walk AS (
-  SELECT doc_id, 1 AS i, 1 AS j, []::BIGINT[] AS matches FROM pl
+walk{sfx} AS (
+  SELECT doc_id, 1 AS i, 1 AS j, []::BIGINT[] AS matches FROM pl{sfx}
   UNION ALL
   SELECT w.doc_id,
          CASE WHEN p.pb[w.j] <= p.pa[w.i] THEN w.i ELSE w.i + 1 END,
@@ -796,37 +794,42 @@ walk AS (
               THEN w.j + 1 ELSE w.j END,
          CASE WHEN p.pb[w.j] > p.pa[w.i] AND p.pb[w.j] - p.pa[w.i] <= {n}
               THEN list_append(w.matches, p.pa[w.i]) ELSE w.matches END
-  FROM walk w JOIN pl p USING (doc_id)
+  FROM walk{sfx} w JOIN pl{sfx} p USING (doc_id)
   WHERE w.i <= len(p.pa) AND w.j <= len(p.pb)
 ),
-final AS (
+final{sfx} AS (
   SELECT doc_id, matches,
          row_number() OVER (PARTITION BY doc_id ORDER BY i + j DESC) AS rn
-  FROM walk
-)
+  FROM walk{sfx}
+)"""
+
+
+def _near2_sql(t1: str, t2: str, n: int) -> str:
+    """2-arg #NEAR/n: the two-pointer consume walk — if B[j] <= A[i] advance
+    j; elif within distance, match A[i] and consume both; else advance i."""
+    return (
+        _RECURSIVE_PRELUDE
+        + ",\n"
+        + _near2_walk_ctes(t1, t2, n)
+        + """
 SELECT doc_id AS docid, len(matches)::BIGINT AS tf,
        array_to_string(matches, ',') AS pos_str
 FROM final WHERE rn = 1 AND len(matches) > 0"""
     )
 
 
-def _window3_sql(t1: str, t2: str, t3: str, n: int) -> str:
-    """3-arg #WINDOW/n: advance the min-position cursor until
-    max-min+1 <= n; on match emit arg0's position and advance all
-    (positions are distinct across terms, so the min cursor is unique)."""
+def _window3_walk_ctes(t1: str, t2: str, t3: str, n: int, sfx: str = "") -> str:
+    """CTE chain for the 3-arg #WINDOW/n walk, ending in ``final{sfx}``."""
     mn = "least(p.pa[w.i], p.pb[w.j], p.pc[w.k])"
     mx = "greatest(p.pa[w.i], p.pb[w.j], p.pc[w.k])"
-    return (
-        _RECURSIVE_PRELUDE
-        + f""",
-pl AS (
+    return f"""pl{sfx} AS (
   SELECT a.doc_id, a.ps AS pa, b.ps AS pb, c.ps AS pc
   FROM (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = '{t1}' GROUP BY 1) a
   JOIN (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = '{t2}' GROUP BY 1) b USING (doc_id)
   JOIN (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = '{t3}' GROUP BY 1) c USING (doc_id)
 ),
-walk AS (
-  SELECT doc_id, 1 AS i, 1 AS j, 1 AS k, []::BIGINT[] AS matches FROM pl
+walk{sfx} AS (
+  SELECT doc_id, 1 AS i, 1 AS j, 1 AS k, []::BIGINT[] AS matches FROM pl{sfx}
   UNION ALL
   SELECT w.doc_id,
          CASE WHEN {mx} - {mn} + 1 > {n}
@@ -840,14 +843,25 @@ walk AS (
               ELSE w.k + 1 END,
          CASE WHEN {mx} - {mn} + 1 <= {n}
               THEN list_append(w.matches, p.pa[w.i]) ELSE w.matches END
-  FROM walk w JOIN pl p USING (doc_id)
+  FROM walk{sfx} w JOIN pl{sfx} p USING (doc_id)
   WHERE w.i <= len(p.pa) AND w.j <= len(p.pb) AND w.k <= len(p.pc)
 ),
-final AS (
+final{sfx} AS (
   SELECT doc_id, matches,
          row_number() OVER (PARTITION BY doc_id ORDER BY i + j + k DESC) AS rn
-  FROM walk
-)
+  FROM walk{sfx}
+)"""
+
+
+def _window3_sql(t1: str, t2: str, t3: str, n: int) -> str:
+    """3-arg #WINDOW/n: advance the min-position cursor until
+    max-min+1 <= n; on match emit arg0's position and advance all
+    (positions are distinct across terms, so the min cursor is unique)."""
+    return (
+        _RECURSIVE_PRELUDE
+        + ",\n"
+        + _window3_walk_ctes(t1, t2, t3, n)
+        + """
 SELECT doc_id AS docid, len(matches)::BIGINT AS tf,
        array_to_string(matches, ',') AS pos_str
 FROM final WHERE rn = 1 AND len(matches) > 0"""
@@ -1231,6 +1245,147 @@ SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
 
 
 _register("indri_batch_mf_topk", _q_indri_batch_mf_topk, _indri_batch_mf_sql(100))
+
+
+# -- batched STRUCTURED (SDM) Indri execution (engine/batch.py) ---------------
+# the reference hw3 SDM headline shape (#AND over term + #NEAR + #WINDOW
+# children, hw3/QryEval/mengyuy-HW3-Report.pdf §3) as TWO jobs for a whole
+# query file: one job walks every positional child of every query (union
+# positions scan + one (qid, ci, docid) aggregate + one mapInPandas
+# wavefront), one job runs the combine. Bitwise ≡ per-query Engine.search
+# (tests/test_batch.py::test_sdm_batch_matches_per_query). Oracle: per-child
+# recursive-CTE walks (the near2/window3 cursor machines) feeding the
+# full-outer Indri combine, with the positional child's ctf as sum(tf) over
+# its walked list — the composite-#SCORE stats contract
+# (ScoreNode._materialized, QryopSlScore.java:118-130).
+
+SDM_BATCH_QUERY_SET = [
+    ("d1", "#AND(spark #NEAR/2(fast sort))",
+     ("and", None, [("t", "spark"), ("near", 2, ["fast", "sort"])])),
+    ("d2", "#AND(table query #WINDOW/8(key value hash))",
+     ("and", None,
+      [("t", "table"), ("t", "query"), ("window", 8, ["key", "value", "hash"])])),
+    ("d3", "#WAND(0.6 spark 0.4 #NEAR/2(fast sort))",
+     ("wand", [0.6, 0.4], [("t", "spark"), ("near", 2, ["fast", "sort"])])),
+    ("d4", "#WSUM(0.7 dup 0.3 #WINDOW/8(key value hash))",
+     ("wsum", [0.7, 0.3], [("t", "dup"), ("window", 8, ["key", "value", "hash"])])),
+]
+
+
+def _q_sdm_batch_topk(spark, sf_dir):
+    from search_engine_spark.engine.batch import batch_topk
+
+    eng = _engine(spark, sf_dir, INDRI)
+    qs = [(qid, text) for qid, text, _ in SDM_BATCH_QUERY_SET]
+    return batch_topk(eng, qs, 100).select(
+        "qid", "rank", F.col("docid").cast("long").alias("docid"),
+        # pow-based scores: f32-round the REPORTED value on both sides
+        F.col("score").cast("float").cast("double").alias("score"),
+    )
+
+
+def _sdm_batch_sql(k: int) -> str:
+    walks, parts, sels = [], [], []
+    for j, (qid, _, (kind, weights, children)) in enumerate(SDM_BATCH_QUERY_SET):
+        sfx = f"_d{j}"
+        term_terms = [c[1] for c in children if c[0] == "t"]
+        cand_unions = []
+        if term_terms:
+            cand_unions.append(
+                f"SELECT doc_id FROM tfs WHERE term IN {_sql_in(term_terms)}"
+            )
+        ctes, joins, cols = [], [], []
+        for i, c in enumerate(children):
+            if c[0] == "t":
+                t_ = c[1]
+                ctes.append(
+                    f"""s{sfx}_{i} AS (
+  SELECT t.doc_id, {_indri_term_score_sql(t_)} AS s
+  FROM tfs t JOIN dl l USING (doc_id) CROSS JOIN consts c
+  WHERE t.term = '{t_}'
+)"""
+                )
+                joins.append(
+                    f"LEFT JOIN s{sfx}_{i} ON s{sfx}_{i}.doc_id = cands{sfx}.doc_id"
+                )
+                cols.append(
+                    f"coalesce(s{sfx}_{i}.s, {_indri_default_sql(t_)}) AS c{i}"
+                )
+            else:
+                op, n, ts = c
+                wsfx = f"{sfx}_{i}"
+                walks.append(
+                    _near2_walk_ctes(ts[0], ts[1], n, wsfx)
+                    if op == "near"
+                    else _window3_walk_ctes(ts[0], ts[1], ts[2], n, wsfx)
+                )
+                walks.append(
+                    f"pp{wsfx} AS (SELECT doc_id, len(matches)::BIGINT AS tf "
+                    f"FROM final{wsfx} WHERE rn = 1 AND len(matches) > 0)"
+                )
+                # composite-#SCORE ctf = sum(tf) over the walked list
+                ctf = f"(SELECT coalesce(sum(tf), 0)::DOUBLE FROM pp{wsfx})"
+                mle = f"({ctf} / c.c_len)"
+                actual = (
+                    f"CAST(CAST((1.0 - {_I.lam!r}) * ((pp{wsfx}.tf + {_I.mu!r} * {mle})"
+                    f" / (l.doclen + {_I.mu!r})) + {_I.lam!r} * {mle} AS REAL) AS DOUBLE)"
+                )
+                default = (
+                    f"((1.0 - {_I.lam!r}) * ({_I.mu!r} * {mle}) / (l.doclen + {_I.mu!r})"
+                    f" + {_I.lam!r} * {mle})"
+                )
+                joins.append(
+                    f"LEFT JOIN pp{wsfx} ON pp{wsfx}.doc_id = cands{sfx}.doc_id"
+                )
+                cols.append(f"coalesce({actual}, {default}) AS c{i}")
+                cand_unions.append(f"SELECT doc_id FROM pp{wsfx}")
+        cands = (
+            f"cands{sfx} AS (SELECT DISTINCT doc_id FROM (\n  "
+            + "\n  UNION ALL ".join(cand_unions)
+            + "\n))"
+        )
+        per = (
+            f"per{sfx} AS (\n  SELECT cands{sfx}.doc_id, "
+            + ", ".join(cols)
+            + f"\n  FROM cands{sfx}\n  JOIN dl l ON l.doc_id = cands{sfx}.doc_id"
+            + "\n  CROSS JOIN consts c\n  "
+            + "\n  ".join(joins)
+            + "\n)"
+        )
+        parts.append(",\n".join([cands] + ctes + [per]))
+        if kind == "and":
+            prod = " * ".join(f"c{i}" for i in range(len(children)))
+            expr = f"pow({prod}, (1.0 / {len(children)}))"
+        elif kind == "wand":
+            W = sum(weights)
+            expr = "1.0"
+            for i, w in enumerate(weights):
+                expr = f"{expr} * pow(c{i}, {w / W!r})"
+        else:
+            W = sum(weights)
+            expr = "0.0"
+            for i, w in enumerate(weights):
+                expr = f"{expr} + c{i} * {w / W!r}"
+        sels.append(
+            f"SELECT '{qid}' AS qid, doc_id, {expr} AS score FROM per{sfx}"
+        )
+    return (
+        _RECURSIVE_PRELUDE
+        + ",\n"
+        + ",\n".join(walks + parts)
+        + ",\nallq AS (\n  "
+        + "\n  UNION ALL ".join(sels)
+        + f"""),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id AS docid, CAST(CAST(score AS REAL) AS DOUBLE) AS score
+  FROM allq)
+SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
+    )
+
+
+_register("sdm_batch_topk", _q_sdm_batch_topk, _sdm_batch_sql(100))
 
 
 # -- PRF expansion (two-round) ------------------------------------------------

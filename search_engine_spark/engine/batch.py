@@ -108,6 +108,68 @@ def batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     )
 
 
+def _field_doclen_map(eng: Engine, flds: list[str], fidx: dict) -> DataFrame:
+    """Per-docid field→doclen map over the given fields: doc_stats filtered
+    to the batch's fields, one docid-keyed aggregate. Joined AFTER the
+    (qid, docid) aggregate so doclen rows never fan out per qid (the
+    single-query mf pivot unions them INTO its aggregate instead —
+    ops._indri_pivot_scores_mf — which would be |docs|x|fields|x|qids|
+    here)."""
+    fi_expr = F.col("field")
+    for f, j in fidx.items():
+        fi_expr = F.when(F.col("field") == f, F.lit(j)).otherwise(fi_expr)
+    return (
+        eng.index.doc_stats.where(F.col("field").isin(list(flds)))
+        .select(
+            "docid",
+            fi_expr.cast("int").alias("_fi"),
+            F.col("doclen").cast("long").alias("doclen"),
+        )
+        .groupBy("docid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_fi", "doclen"))
+            ).alias("_dlmap")
+        )
+    )
+
+
+def _indri_combine_score(p, *, dl_of, dl_def_of):
+    """The post-aggregation Indri combine over the broadcast constants array
+    `_arr` (rows: ci, ctf, w, cl, fi) against the `_tfmap` column: per-child
+    actual-or-default score via ``dl_of``/``dl_def_of`` (Column factories
+    taking the array element), folded in child order by `_kind` — the exact
+    float arithmetic of the single-query pivot combines (seeding with
+    1.0/0.0 is IEEE-exact against the reference's unseeded left folds)."""
+    from search_engine_spark.engine import score as score_mod
+
+    def _s(x):
+        tf = F.element_at(F.col("_tfmap"), x["ci"])
+        actual = score_mod.indri_score(
+            ctf=x["ctf"], c_len=x["cl"], p=p, tf=tf, doclen=dl_of(x)
+        )
+        default = score_mod.indri_default_score(
+            ctf=x["ctf"], c_len=x["cl"], p=p, doclen=dl_def_of(x)
+        )
+        return F.when(tf.isNotNull(), actual).otherwise(default)
+
+    arr = F.col("_arr")
+    and_score = F.pow(
+        F.aggregate(arr, F.lit(1.0), lambda acc, x: acc * _s(x)), F.col("_exp")
+    )
+    wand_score = F.aggregate(
+        arr, F.lit(1.0), lambda acc, x: acc * F.pow(_s(x), x["w"])
+    )
+    wsum_score = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + _s(x) * x["w"]
+    )
+    return (
+        F.when(F.col("_kind") == "and", and_score)
+        .when(F.col("_kind") == "wand", wand_score)
+        .otherwise(wsum_score)
+    )
+
+
 def _indri_query_spec(
     eng: Engine, qid: str, text: str
 ) -> tuple[str, list[float] | None, list[tuple[str, str]]]:
@@ -239,23 +301,7 @@ def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame
         # before its own docid-keyed aggregate. A doc with no tokens in a
         # child's field has no doc_stats row: doclen 0 in that child's
         # default, the ScoreNode quirk the mf pivot documents.
-        fi_expr = F.col("field")
-        for f, j in fidx.items():
-            fi_expr = F.when(F.col("field") == f, F.lit(j)).otherwise(fi_expr)
-        dstats = (
-            eng.index.doc_stats.where(F.col("field").isin(flds))
-            .select(
-                "docid",
-                fi_expr.cast("int").alias("_fi"),
-                F.col("doclen").cast("long").alias("doclen"),
-            )
-            .groupBy("docid")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("_fi", "doclen"))
-                ).alias("_dlmap")
-            )
-        )
+        dstats = _field_doclen_map(eng, flds, fidx)
         grouped = (
             scan.select("term", "field", "docid", "tf")
             .join(F.broadcast(qleaf_df), ["term", "field"])
@@ -266,37 +312,306 @@ def indri_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame
             .join(F.broadcast(qmeta_df), "qid")
         )
 
-    def _s(x):
-        # per-child score: actual if this doc had the term, default otherwise
-        # — the same score_mod expressions the single-query pivot emits
-        tf = F.element_at(F.col("_tfmap"), x["ci"])
-        if multi_field:
-            dl = F.element_at(F.col("_dlmap"), x["fi"])
-            dl_def = F.coalesce(dl, F.lit(0).cast("long"))
-        else:
-            dl = dl_def = F.col("_dl")
-        actual = score_mod.indri_score(
-            ctf=x["ctf"], c_len=x["cl"], p=p, tf=tf, doclen=dl
+    if multi_field:
+        score = _indri_combine_score(
+            p,
+            dl_of=lambda x: F.element_at(F.col("_dlmap"), x["fi"]),
+            dl_def_of=lambda x: F.coalesce(
+                F.element_at(F.col("_dlmap"), x["fi"]), F.lit(0).cast("long")
+            ),
         )
-        default = score_mod.indri_default_score(
-            ctf=x["ctf"], c_len=x["cl"], p=p, doclen=dl_def
+    else:
+        score = _indri_combine_score(
+            p, dl_of=lambda x: F.col("_dl"), dl_def_of=lambda x: F.col("_dl")
         )
-        return F.when(tf.isNotNull(), actual).otherwise(default)
+    return grouped.select("qid", "docid", score.alias("score"))
 
-    arr = F.col("_arr")
-    and_score = F.pow(
-        F.aggregate(arr, F.lit(1.0), lambda acc, x: acc * _s(x)), F.col("_exp")
+
+def _sdm_query_spec(
+    eng: Engine, qid: str, text: str
+) -> tuple[str, list[float] | None, list[tuple]]:
+    """Parse + compile one structured (SDM-shaped) Indri query: flat
+    #AND/#WAND/#WSUM whose children are term leaves OR positional
+    #NEAR/n / #WINDOW/n over term leaves — the reference hw3 SDM headline
+    ``#AND(q #NEAR/1(q) #WINDOW/8(q))`` (hw3/QryEval/mengyuy-HW3-Report.pdf
+    §3). Returns (kind, weights, children) where children[i] is
+    ("t", term, field) or ("near"|"window", distance, [(term, field)...],
+    field). A superset of _indri_query_spec's flat shapes."""
+    from search_engine_spark.engine.ops import (
+        IlNode, IndriAndNode, NearNode, ScoreNode, TermNode, WandNode,
+        WindowNode, WsumNode,
     )
-    wand_score = F.aggregate(
-        arr, F.lit(1.0), lambda acc, x: acc * F.pow(_s(x), x["w"])
+
+    node = compile_node(eng.parse(text), eng.ctx, eng.default_field)
+    if isinstance(node, IlNode):
+        node = ScoreNode(node)
+    if isinstance(node, ScoreNode):
+        kind, weights, children = "and", None, [node]
+    elif isinstance(node, IndriAndNode):
+        kind, weights, children = "and", None, node.children
+    elif isinstance(node, WandNode):
+        kind, weights, children = "wand", node.weights, node.children
+    elif isinstance(node, WsumNode):
+        kind, weights, children = "wsum", node.weights, node.children
+    else:
+        raise ValueError(
+            f"query {qid!r} compiles to {type(node).__name__} — SDM batch "
+            "covers flat #AND/#WAND/#WSUM over term/positional children"
+        )
+    out: list[tuple] = []
+    for c in children:
+        if not isinstance(c, ScoreNode):
+            raise ValueError(
+                f"query {qid!r} has a nested Sl child — SDM batch covers "
+                "term/positional children only"
+            )
+        ch = c.child
+        if isinstance(ch, TermNode):
+            out.append(("t", ch.term, ch.field))
+        elif isinstance(ch, (NearNode, WindowNode)):
+            if not all(isinstance(leaf, TermNode) for leaf in ch.children):
+                raise ValueError(
+                    f"query {qid!r} has a nested composite inside a "
+                    "positional child — SDM batch covers term leaves"
+                )
+            leaves = [(leaf.term, leaf.field) for leaf in ch.children]
+            if len(leaves) == 1:
+                # 1-arg passthrough (QryopIlWindow.java:51-57): the result
+                # list IS the leaf's list, so treat as a term child — the
+                # result df/ctf equal the leaf's broadcast stats
+                out.append(("t",) + leaves[0])
+            else:
+                op = "near" if isinstance(ch, NearNode) else "window"
+                out.append((op, ch.distance, leaves, ch.field))
+        else:
+            raise ValueError(
+                f"query {qid!r} has a {type(ch).__name__} child — SDM batch "
+                "covers term and #NEAR/#WINDOW children"
+            )
+    return kind, weights, out
+
+
+def _sdm_walk_iter(batches):
+    """mapInPandas kernel for the batched positional walk: rows are
+    (qid, ci, _op, _dist, _k, docid, _pl) where _pl is the child-ordered
+    list of per-leaf position arrays. Rows are grouped by (_op, _dist, _k)
+    so each homogeneous subgroup runs ONE numpy wavefront step-loop for all
+    its docs at once (engine/poswalk.py) — the same vectorization as the
+    single-query path, amortized across every query in the batch."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_spark.engine.ops import _near_walk, _window_walk
+    from search_engine_spark.engine.poswalk import near_batch, window_batch
+
+    scalar = os.environ.get("SPARK_GRAFT_SCALAR_WALK") == "1"
+    for pdf in batches:
+        qids: list = []
+        cis: list = []
+        docids: list = []
+        tfs: list = []
+        if len(pdf):
+            for (op, dist, k), sub in pdf.groupby(
+                ["_op", "_dist", "_k"], sort=False
+            ):
+                walk = _near_walk if op == "near" else _window_walk
+                plists = sub["_pl"].tolist()
+                if scalar:
+                    for qid, ci, docid, pl in zip(
+                        sub["qid"], sub["ci"], sub["docid"], plists
+                    ):
+                        res = walk([list(np.asarray(a)) for a in pl], dist)
+                        if res:
+                            qids.append(qid)
+                            cis.append(ci)
+                            docids.append(docid)
+                            tfs.append(len(res))
+                else:
+                    batch_walk = near_batch if op == "near" else window_batch
+                    cols = [[row[i] for row in plists] for i in range(k)]
+                    ranks, pos_arrays = batch_walk(cols, int(dist))
+                    qids.extend(sub["qid"].to_numpy()[ranks])
+                    cis.extend(sub["ci"].to_numpy()[ranks])
+                    docids.extend(sub["docid"].to_numpy()[ranks])
+                    tfs.extend(len(pp) for pp in pos_arrays)
+        yield pd.DataFrame(
+            {
+                "qid": pd.Series(qids, dtype="object"),
+                "ci": pd.Series(cis, dtype="int32"),
+                "docid": pd.Series(docids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int32"),
+            }
+        )
+
+
+def sdm_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
+    """[(qid, text)] -> (qid, docid, score) for structured (SDM-shaped)
+    Indri queries — flat #AND/#WAND/#WSUM over term AND positional
+    (#NEAR/n, #WINDOW/n) children, batched across qids.
+
+    Two jobs for the whole set instead of ~3 jobs per query:
+
+    1. ALL positional children in one job: one union postings scan (with
+       positions), broadcast (qid, ci, li, term, field) fan-out, ONE
+       (qid, ci, docid) aggregate collecting the per-leaf position arrays
+       (group size == leaf count IS the inner-join-on-docid semantics of
+       the single-query _positional_join), then one mapInPandas wavefront
+       walk over homogeneous (op, distance, k) subgroups. The walked
+       (qid, ci, docid, tf) frame is localCheckpointed — it feeds both the
+       per-child df/ctf stats aggregate (the composite #SCORE contract,
+       ScoreNode._materialized) and the combine, without re-walking.
+    2. The combine job: term-child rows (one scan + broadcast fan-out,
+       exactly indri_batch_scores) unioned with the checkpointed positional
+       rows, ONE (qid, docid) aggregate into a tf-map, per-docid
+       field→doclen map joined post-agg, and the same broadcast-constants
+       higher-order combine — positional children's ctf rides the constants
+       array from step 1's stats, term children's from broadcast term
+       stats. Bitwise ≡ per-query Engine.search
+       (tests/test_batch.py::test_sdm_batch_matches_per_query)."""
+    if eng.model.name != INDRI:
+        raise ValueError("sdm_batch_scores requires the Indri model")
+    spark = eng.index.doc_ids.sparkSession
+    specs = {qid: _sdm_query_spec(eng, qid, text) for qid, text in queries}
+
+    child_fields: set[str] = set()
+    term_pairs: set[tuple[str, str]] = set()
+    pos_pairs: set[tuple[str, str]] = set()
+    for kind, weights, children in specs.values():
+        for c in children:
+            if c[0] == "t":
+                child_fields.add(c[2])
+                term_pairs.add((c[1], c[2]))
+            else:
+                child_fields.add(c[3])
+                pos_pairs.update(c[2])
+    if not child_fields:
+        return spark.createDataFrame([], "qid string, docid long, score double")
+    flds = sorted(child_fields)
+    fidx = {f: j for j, f in enumerate(flds)}
+    c_len_of = {f: eng.index.corpus.sum_doclen(f) for f in flds}
+    p = eng.model.indri
+    eng.ctx.prefetch_terms(term_pairs)
+
+    # ---- phase 1: every positional child of every query, ONE job --------
+    pos_leaf, pos_meta = [], []
+    for qid, (kind, weights, children) in specs.items():
+        for ci, c in enumerate(children):
+            if c[0] == "t":
+                continue
+            op, dist, leaves, fld = c
+            for li, (t, f) in enumerate(leaves):
+                pos_leaf.append((qid, ci, li, t, f))
+            pos_meta.append((qid, ci, op, int(dist), len(leaves)))
+    pos_stats: dict[tuple[str, int], tuple[int, int]] = {}
+    pos_posts = None
+    if pos_leaf:
+        pl_df = spark.createDataFrame(
+            pos_leaf, "qid string, ci int, li int, term string, field string"
+        )
+        pm_df = spark.createDataFrame(
+            pos_meta, "qid string, ci int, _op string, _dist int, _k int"
+        )
+        pscan = eng.ctx.index.postings_for(
+            sorted({(t, f) for _, _, _, t, f in pos_leaf}), with_positions=True
+        )
+        prows = (
+            pscan.select("term", "field", "docid", "positions")
+            .join(F.broadcast(pl_df), ["term", "field"])
+            .groupBy("qid", "ci", "docid")
+            .agg(F.collect_list(F.struct("li", "positions")).alias("_lp"))
+            .join(F.broadcast(pm_df), ["qid", "ci"])
+            .where(F.size("_lp") == F.col("_k"))
+            .select(
+                "qid", "ci", "_op", "_dist", "_k", "docid",
+                # child-ordered per-leaf position arrays (struct sort is
+                # li-first lexicographic)
+                F.transform(
+                    F.array_sort("_lp"), lambda s: s["positions"]
+                ).alias("_pl"),
+            )
+        )
+        pos_posts = prows.mapInPandas(
+            _sdm_walk_iter, "qid string, ci int, docid long, tf int"
+        ).localCheckpoint(eager=True)
+        for r in (
+            pos_posts.groupBy("qid", "ci")
+            .agg(
+                F.count("*").alias("df"),
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("ctf"),
+            )
+            .collect()
+        ):
+            pos_stats[(r["qid"], r["ci"])] = (int(r["df"]), int(r["ctf"]))
+
+    # ---- phase 2: constants + combine (indri_batch_scores shape) --------
+    qleaf, qmeta = [], []
+    for qid, (kind, weights, children) in specs.items():
+        if not children:
+            continue
+        W = float(sum(weights)) if weights is not None else 0.0
+        arr = []
+        for ci, c in enumerate(children):
+            if c[0] == "t":
+                _, t, f = c
+                qleaf.append((qid, ci, t, f))
+                _, ctf = eng.ctx.term_stat(t, f)
+                fld = f
+            else:
+                fld = c[3]
+                # a positional child with zero matches keeps (df, ctf) =
+                # (0, 0) — the ctf=0 default quirk, same as the empty
+                # list_stats aggregate on the single-query path
+                _, ctf = pos_stats.get((qid, ci), (0, 0))
+            w = (
+                (weights[ci] / W if W != 0 else math.nan)
+                if weights is not None
+                else 0.0
+            )
+            arr.append((ci, float(ctf), w, float(c_len_of[fld]), fidx[fld]))
+        qmeta.append((qid, kind, 1.0 / len(children), arr))
+    qmeta_df = spark.createDataFrame(
+        qmeta,
+        "qid string, _kind string, _exp double, "
+        "_arr array<struct<ci:int, ctf:double, w:double, cl:double, fi:int>>",
     )
-    wsum_score = F.aggregate(
-        arr, F.lit(0.0), lambda acc, x: acc + _s(x) * x["w"]
+
+    frames = []
+    if qleaf:
+        qleaf_df = spark.createDataFrame(
+            qleaf, "qid string, ci int, term string, field string"
+        )
+        scan = eng.ctx.index.postings_for(
+            sorted({(t, f) for _, _, t, f in qleaf})
+        )
+        frames.append(
+            scan.select("term", "field", "docid", "tf")
+            .join(F.broadcast(qleaf_df), ["term", "field"])
+            .select("qid", "ci", "docid", F.col("tf").cast("int").alias("tf"))
+        )
+    if pos_posts is not None:
+        frames.append(
+            pos_posts.select(
+                "qid", "ci", "docid", F.col("tf").cast("int").alias("tf")
+            )
+        )
+    from functools import reduce
+
+    rows = reduce(DataFrame.unionByName, frames)
+    grouped = (
+        rows.groupBy("qid", "docid")
+        .agg(F.collect_list(F.struct("ci", "tf")).alias("_ents"))
+        .select("qid", "docid", F.map_from_entries("_ents").alias("_tfmap"))
+        .join(_field_doclen_map(eng, flds, fidx), "docid", "left")
+        .join(F.broadcast(qmeta_df), "qid")
     )
-    score = (
-        F.when(F.col("_kind") == "and", and_score)
-        .when(F.col("_kind") == "wand", wand_score)
-        .otherwise(wsum_score)
+    score = _indri_combine_score(
+        p,
+        dl_of=lambda x: F.element_at(F.col("_dlmap"), x["fi"]),
+        dl_def_of=lambda x: F.coalesce(
+            F.element_at(F.col("_dlmap"), x["fi"]), F.lit(0).cast("long")
+        ),
     )
     return grouped.select("qid", "docid", score.alias("score"))
 
@@ -348,7 +663,9 @@ def split_batchable(
                 if "#" in text:
                     raise ValueError("structured")
             elif eng.model.name == INDRI:
-                _indri_query_spec(eng, qid, text)
+                # SDM spec is a superset of the flat spec: flat, mixed-field
+                # and #NEAR/#WINDOW-structured queries all batch
+                _sdm_query_spec(eng, qid, text)
             elif eng.model.name in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
                 _bool_query_spec(eng, qid, text)
             else:
@@ -428,7 +745,20 @@ def batch_topk(
     flat Indri #AND/#WAND/#WSUM, or flat Boolean #AND/#OR.
     """
     if eng.model.name == INDRI:
-        scores = indri_batch_scores(eng, queries)
+        # flat sets take the one-shuffle fast path; any positional child
+        # routes the WHOLE set through the SDM plan (a superset: flat
+        # queries are SDM queries with zero positional children)
+        flat = True
+        try:
+            for qid, text in queries:
+                _indri_query_spec(eng, qid, text)
+        except ValueError:
+            flat = False
+        scores = (
+            indri_batch_scores(eng, queries)
+            if flat
+            else sdm_batch_scores(eng, queries)
+        )
     elif eng.model.name in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
         scores = bool_batch_scores(eng, queries)
     else:

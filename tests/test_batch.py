@@ -74,10 +74,12 @@ def test_batch_rejects_structured(code_index):
     with pytest.raises(ValueError, match="structured"):
         batch_topk(eng, [("q1", "#AND(lock queue)")], K)
     ind = _ind(code_index)
-    with pytest.raises(ValueError, match="structured child"):
-        batch_topk(ind, [("q1", "#AND(lock #NEAR/2(ring buffer))")], K)
-    with pytest.raises(ValueError, match="flat"):
+    # nested Sl inside a weighted combine stays out of the batch path
+    with pytest.raises(ValueError, match="nested Sl"):
         batch_topk(ind, [("q1", "#WSUM(0.5 lock 0.5 #AND(ring buffer))")], K)
+    # composite inside a positional child stays out too
+    with pytest.raises(ValueError, match="nested composite"):
+        batch_topk(ind, [("q1", "#NEAR/2(lock #SYN(ring buffer))")], K)
 
 
 # -- Indri batch --------------------------------------------------------------
@@ -143,6 +145,46 @@ def test_indri_batch_mixed_fields_matches_per_query(code_index):
         assert got.get(qid, []) == want, f"{qid} diverges from Engine.search"
 
 
+# -- SDM (structured) batch ---------------------------------------------------
+
+SDM_BATCH = [
+    # the reference hw3 SDM headline shape: term + #NEAR/1 + #WINDOW/8
+    ("s1", "#AND(lock #NEAR/1(lock free) #WINDOW/8(lock free))"),
+    ("s2", "#AND(ring buffer #NEAR/2(ring buffer))"),
+    ("s3", "#WAND(0.5 queue 0.3 #NEAR/2(lock queue) 0.2 #WINDOW/4(lock queue))"),
+    ("s4", "#WSUM(0.6 slot 0.4 #WINDOW/6(ring slot))"),
+    ("s5", "#NEAR/2(fast sort)"),                 # bare positional query
+    ("s6", "#AND(lock #NEAR/2(zzz_not_in_vocab_zzz lock))"),  # empty child -> ctf 0
+    ("s7", "lock free queue"),                    # flat query in an SDM batch
+    ("s8", "#AND(python.lang #NEAR/3(lock queue))"),  # mixed-field SDM
+]
+
+
+def test_sdm_batch_matches_per_query(code_index):
+    """Structured (SDM-shaped) batches — positional children walked once
+    for the whole set — stay bitwise-identical to per-query Engine.search,
+    including empty positional children (ctf=0 default) and mixed fields."""
+    eng = _ind(code_index)
+    got = _by_qid(batch_topk(eng, SDM_BATCH, K))
+    for qid, text in SDM_BATCH:
+        want = [
+            (r["rank"], r["docid"], r["ext_docid"], r["score"])
+            for r in eng.search(text, K).collect()
+        ]
+        assert got.get(qid, []) == want, f"{qid} diverges from Engine.search"
+
+
+def test_sdm_batch_scalar_walk_identity(code_index, monkeypatch):
+    """The scalar reference walk and the numpy wavefront agree inside the
+    batched SDM kernel too."""
+    monkeypatch.setenv("SPARK_GRAFT_SCALAR_WALK", "1")
+    eng = _ind(code_index)
+    a = _by_qid(batch_topk(eng, SDM_BATCH[:4], K))
+    monkeypatch.delenv("SPARK_GRAFT_SCALAR_WALK")
+    b = _by_qid(batch_topk(_ind(code_index), SDM_BATCH[:4], K))
+    assert a == b
+
+
 # -- Boolean batch ------------------------------------------------------------
 
 from search_engine_spark.config import RANKED_BOOLEAN, UNRANKED_BOOLEAN  # noqa: E402
@@ -192,10 +234,14 @@ def test_split_batchable(code_index):
     assert [q for q, _ in rest] == ["q2", "q3"]  # structured under BM25
 
     ind = _ind(code_index)
-    good, rest = split_batchable(ind, mixed + [("q4", "lock.path queue")])
-    # flat #AND and mixed-field queries both batch under Indri (round 5)
-    assert [q for q, _ in good] == ["q1", "q3", "q4"]
-    assert [q for q, _ in rest] == ["q2"]  # positional stays per-query
+    good, rest = split_batchable(
+        ind, mixed + [("q4", "lock.path queue"),
+                      ("q5", "#WSUM(0.5 lock 0.5 #AND(ring buffer))")]
+    )
+    # flat #AND, bare positional, and mixed-field all batch under Indri
+    # (round 5: the SDM spec is a superset); nested Sl stays per-query
+    assert [q for q, _ in good] == ["q1", "q2", "q3", "q4"]
+    assert [q for q, _ in rest] == ["q5"]
 
     rb = Engine(
         code_index, ModelConfig(name=RANKED_BOOLEAN), tokenizer=CODE_TOKENIZER
