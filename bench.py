@@ -51,6 +51,8 @@ HEADLINE = [
     "field_bm25_topk",
     "bm25_batch_topk",
     "indri_batch_topk",
+    "indri_batch_mf_topk",
+    "sdm_batch_topk",
     "bool_batch_topk",
     "prf_term_weights",
     "letor_rerank_topk",
@@ -113,6 +115,66 @@ def main() -> None:
     ).collect()
     pruned_sec = round(time.time() - t0, 3)
 
+    # block-max pruning evidence at SKEWED scale (VERDICT r04 item 5): the
+    # sf0.1 i.i.d. index has ~13 blocks whose (max_tf, min_doclen) bounds
+    # all look alike, so the row above legitimately reads scanned==total
+    # (the r03 13/13 finding). The distribution pruning was built for is
+    # the BURSTY corpus (identifier locality -> per-block tf skew); build
+    # or reuse that index (cached under /tmp across runs) and record the
+    # real skip ratio with bitwise identity vs the exact plan — the same
+    # evidence BENCH_SCALING.md's round-4 addendum documents at 100k/300k.
+    bursty: dict = {}
+    prune_files = int(os.environ.get("SPARK_GRAFT_PRUNE_FILES", "100000"))
+    if prune_files:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from bench_pruning import THEMES, build_or_reuse  # noqa: E402
+
+        from search_engine_spark.config import BM25, ModelConfig
+        from search_engine_spark.corpus import theme_terms
+        from search_engine_spark.engine.runner import Engine
+        from search_engine_spark.tokenize import CODE_TOKENIZER
+
+        t0 = time.time()
+        bidx = build_or_reuse(
+            spark, prune_files, 128,
+            os.environ.get("SPARK_GRAFT_PRUNE_IDX", "/tmp/bursty_prune_idx"),
+        )
+        bursty_build_sec = round(time.time() - t0, 3)
+        beng = Engine(bidx, ModelConfig(name=BM25), tokenizer=CODE_TOKENIZER)
+        scanned = total = 0
+        identity = True
+        t0 = time.time()
+        for th in THEMES[:3]:
+            q = theme_terms(th)[:3]
+            bst = PruneStats()
+            got = [
+                tuple(r)
+                for r in bm25_topk_pruned(bidx, q, k=100, stats=bst).collect()
+            ]
+            scanned += bst.n_blocks_scanned
+            total += bst.n_blocks_total
+            os.environ["SPARK_GRAFT_NO_PRUNE"] = "1"
+            try:
+                want = [
+                    tuple(r) for r in beng.search(" ".join(q), 100).collect()
+                ]
+            finally:
+                del os.environ["SPARK_GRAFT_NO_PRUNE"]
+            identity = identity and got == want
+        bursty = {
+            "bursty_prune_files": prune_files,
+            "bursty_prune_build_sec": bursty_build_sec,
+            "bursty_prune_blocks_scanned": scanned,
+            "bursty_prune_blocks_total": total,
+            "bursty_prune_skip_pct": (
+                round(100.0 * (total - scanned) / total, 1) if total else None
+            ),
+            "bursty_prune_identity": identity,
+            "bursty_prune_queries_sec": round(time.time() - t0, 3),
+        }
+
     # value stays comparable across rounds: build + ONE representative pass
     # over the headline set (per-query medians) + the pruning-evidence run —
     # not the raw multi-rep wall, which would triple with query_reps
@@ -136,6 +198,7 @@ def main() -> None:
         "query_reps": reps,
         "per_query_stat": "median",
         "cpus": cpus,
+        **bursty,
     }
     print(json.dumps(out))
 
