@@ -340,13 +340,123 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
-def dup_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def dup_groups(
+    pairs: DataFrame,
+    max_iter: int = 50,
+    method: str = "star",
+    _stats: dict | None = None,
+) -> DataFrame:
     """Near-dup PAIRS (X5/X8 output: id_a, id_b) -> keep/drop GROUPS:
     (id, group_id, keep) with group_id = the connected component's min id
     and keep true only for that canonical member — the consolidation a
     training-data filter actually consumes (drop every row with keep=false).
 
-    Connected components by iterative min-label propagation (PySpark has no
+    ``method="star"`` (default): alternating large-star/small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014 — a public algorithm): each round rewires every node's
+    strictly-larger neighbors to its neighborhood minimum (large-star),
+    then collapses each node's smaller neighbors onto their minimum
+    (small-star). Converges in O(log n) rounds on ANY graph shape —
+    including the adversarial path-shaped components where min-label
+    propagation needs O(diameter) rounds (the r04 verdict item 7 gap) —
+    with one pair-set-sized shuffle pair per round and a fingerprint
+    (count + xxhash64 XOR) convergence check.
+
+    ``method="propagate"``: the original iterative min-label propagation
+    (O(component diameter) rounds, fine for small-world LSH clusters);
+    kept as the semantics twin for the equivalence pytest.
+
+    ``_stats``: optional dict; receives {"rounds": n} for convergence
+    tests. Both methods reach the same fixpoint labels, so the driver
+    oracle (recursive CTE, driver_queries_pipeline.py) is method-blind."""
+    if method == "propagate":
+        return _propagate_groups(pairs, max_iter, _stats)
+    if method != "star":
+        raise ValueError(f"unknown dup_groups method {method!r}")
+    nodes = (
+        pairs.select(F.col("id_a").cast("long").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").cast("long").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    P = (
+        pairs.select(
+            F.greatest(
+                F.col("id_a").cast("long"), F.col("id_b").cast("long")
+            ).alias("hi"),
+            F.least(
+                F.col("id_a").cast("long"), F.col("id_b").cast("long")
+            ).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fp(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("x"),
+        ).first()
+        return (r["n"], r["x"])
+
+    last = fp(P)
+    rounds = 0
+    if last[0]:
+        for _ in range(max_iter):
+            rounds += 1
+            # large-star: every strictly-larger neighbor of u rewires to
+            # m(u) = min of u's closed neighborhood
+            nbrs = P.select(
+                F.col("hi").alias("u"), F.col("lo").alias("v")
+            ).unionByName(
+                P.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            )
+            m = nbrs.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            P1 = (
+                nbrs.where(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                .distinct()
+            )
+            # small-star: every edge now has hi > lo; collapse each hi's
+            # smaller neighbors (and hi itself) onto their minimum
+            m2 = P1.groupBy("hi").agg(F.min("lo").alias("m"))
+            P = (
+                P1.join(m2, "hi")
+                .select(F.col("lo").alias("n"), "m")
+                .where(F.col("n") != F.col("m"))
+                .unionByName(m2.select(F.col("hi").alias("n"), "m"))
+                .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
+                .distinct()
+                .localCheckpoint()
+            )
+            cur = fp(P)
+            if cur == last:
+                break
+            last = cur
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    lab = P.groupBy("hi").agg(F.min("lo").alias("label")).select(
+        F.col("hi").alias("id"), "label"
+    )
+    labels = nodes.join(lab, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
+    return labels.select(
+        "id",
+        F.col("label").alias("group_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )
+
+
+def _propagate_groups(
+    pairs: DataFrame, max_iter: int = 50, _stats: dict | None = None
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (PySpark has no
     GraphX binding; this is the hash-join formulation): every node starts
     labeled with its own id and each round adopts the minimum label in its
     closed neighborhood, converging in O(component diameter) rounds — LSH
@@ -374,7 +484,9 @@ def dup_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumnRenamed("src", "id")
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -399,6 +511,8 @@ def dup_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return labels.select(
         "id",
         F.col("label").alias("group_id"),

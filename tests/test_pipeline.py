@@ -168,3 +168,30 @@ def test_dup_groups_connected_components(spark):
         13: (10, False), 14: (10, False),
         20: (20, True), 21: (20, False), 22: (20, False),
     }
+
+
+def test_dup_groups_path_graph_converges_fast(spark):
+    """The adversarial shape for min-label propagation: a PATH of length
+    L≈200 (diameter L) interleaved so ids don't help. The star-contraction
+    default must converge in O(log n) rounds (<15), with labels identical
+    to the propagation twin's fixpoint (r04 verdict item 7)."""
+    L = 200
+    # permute node ids so the path order and id order disagree
+    ids = [(i * 73) % L + 1000 for i in range(L)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(L - 1)], "id_a long, id_b long"
+    )
+    st = {}
+    got = {
+        r["id"]: (r["group_id"], r["keep"])
+        for r in dd.dup_groups(pairs, _stats=st).collect()
+    }
+    assert st["rounds"] < 15, f"star contraction took {st['rounds']} rounds"
+    root = min(ids)
+    assert got == {i: (root, i == root) for i in ids}
+    # propagation twin reaches the same fixpoint (given enough rounds)
+    want = {
+        r["id"]: (r["group_id"], r["keep"])
+        for r in dd.dup_groups(pairs, max_iter=250, method="propagate").collect()
+    }
+    assert got == want
