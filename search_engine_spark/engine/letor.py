@@ -320,6 +320,27 @@ def classify(feats: DataFrame, weights: list[float]) -> DataFrame:
     return feats.select(*keep, score.alias("score"))
 
 
+def read_pagerank_file(spark: SparkSession, path: str, doc_ids: DataFrame) -> DataFrame:
+    """Parse the reference's ``letor:pageRankFile`` format — one
+    ``externalId<TAB>score`` line per doc, read into a
+    HashMap<String, Double> at hw5/QryEval/QryEval.java:216-224 — into the
+    (docid, pagerank) side table ``letor_features`` consumes.
+
+    The ext→internal resolution is a join against the doc_ids dimension
+    (the reference's map is keyed by external id; our feature frame is
+    docid-keyed), left DISTRIBUTED: at 10^10 docs both the side file and
+    the dimension are large, so neither side broadcasts — AQE picks the
+    join strategy. External ids absent from the index simply drop out, and
+    docs absent from the file get no row (letor_features' left join then
+    yields the NaN→0 quirk, exactly the reference's null HashMap lookup)."""
+    pr = spark.read.csv(
+        path, sep="\t", schema="ext_docid string, pagerank double"
+    )
+    return pr.join(doc_ids.select("docid", "ext_docid"), "ext_docid").select(
+        "docid", "pagerank"
+    )
+
+
 def letor_rerank(
     spark: SparkSession,
     index: IndexTables,

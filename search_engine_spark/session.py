@@ -38,6 +38,17 @@ def get_spark(
     # merely neutral; memory cost is bounded by a worker's peak live temps.
     for env_k in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(env_k, "1073741824")
+    # local-mode python workers inherit the driver's ENVIRONMENT, not its
+    # sys.path: a job launched from outside the repo (spark-submit from any
+    # cwd) imports the package fine driver-side via its own sys.path.insert
+    # but crashes in the first stage that ships python code. Export the
+    # repo root on PYTHONPATH so workers resolve it regardless of cwd.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
     b = (
         SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app)

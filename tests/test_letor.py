@@ -335,3 +335,51 @@ def test_initial_ranking_source_feeds_prf(spark, code_index):
     assert [
         (r["rank"], r["docid"], r["score"]) for r in direct.collect()
     ] == [(r["rank"], r["docid"], r["score"]) for r in via_file.collect()]
+
+
+# ---------------------------------------------------------------------------
+# letor:pageRankFile reader (QryEval.java:216-224)
+# ---------------------------------------------------------------------------
+
+
+def test_read_pagerank_file(spark, code_index, letor_setup, tmp_path):
+    """The reference's externalId<TAB>score side file parses into the
+    (docid, pagerank) frame letor_features consumes: features computed via
+    the file path are identical to features via the literal frame,
+    including the missing-doc NaN path (ids absent from the file) and
+    unknown external ids dropping out."""
+    from search_engine_spark.engine.letor import read_pagerank_file
+
+    eng, cands, nchars, urls, pagerank, docs_meta, pr_df = letor_setup
+    ext_of = {
+        r["docid"]: r["ext_docid"]
+        for r in code_index.doc_ids.where(
+            F.col("docid").isin(list(pagerank))
+        ).collect()
+    }
+    path = tmp_path / "pagerank.tsv"
+    body = "".join(f"{ext_of[d]}\t{s}\n" for d, s in pagerank.items())
+    body += "no/such:doc@deadbeef\t-9.9\n"  # unknown ext id -> dropped
+    path.write_text(body)
+
+    got_df = read_pagerank_file(spark, str(path), code_index.doc_ids)
+    got = {r["docid"]: r["pagerank"] for r in got_df.collect()}
+    assert got == pagerank
+
+    cfg = LetorConfig(fields4=FIELDS4)
+    via_file = {
+        r["docid"]: [r[c] for c in FEATURE_COLS]
+        for r in _spark_features(
+            spark, code_index, cands, docs_meta, got_df, cfg
+        ).collect()
+    }
+    via_frame = {
+        r["docid"]: [r[c] for c in FEATURE_COLS]
+        for r in _spark_features(
+            spark, code_index, cands, docs_meta, pr_df, cfg
+        ).collect()
+    }
+    assert set(via_file) == set(via_frame)
+    for d, vals in via_frame.items():
+        for j, (g, w) in enumerate(zip(via_file[d], vals)):
+            assert _close(g, w) or (math.isnan(g) and math.isnan(w)), (d, j + 1)
