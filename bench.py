@@ -53,6 +53,7 @@ HEADLINE = [
     "indri_batch_topk",
     "indri_batch_mf_topk",
     "sdm_batch_topk",
+    "sdm_bm25_batch_topk",
     "bool_batch_topk",
     "prf_term_weights",
     "letor_rerank_topk",

@@ -1388,6 +1388,104 @@ SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
 _register("sdm_batch_topk", _q_sdm_batch_topk, _sdm_batch_sql(100))
 
 
+# -- batched STRUCTURED BM25 #SUM (engine/batch.py sdm_bm25_batch_scores) -----
+# the hw2 structured-BM25 shape: #SUM over term + positional children, each
+# positional child scored as a BM25 "term" whose df/tf come from its walked
+# inverted list (ScoreNode._materialized over a composite,
+# QryopSlScore.java:103-139 with the list's stats). Duplicate term children
+# contribute once per occurrence (one SELECT each in the oracle).
+
+SDM_BM25_BATCH_QUERY_SET = [
+    ("e1", "#SUM(spark #NEAR/2(fast sort))",
+     [("t", "spark"), ("near", 2, ["fast", "sort"])]),
+    ("e2", "table query #WINDOW/8(key value hash)",
+     [("t", "table"), ("t", "query"), ("window", 8, ["key", "value", "hash"])]),
+    ("e3", "#SUM(dup #NEAR/2(fast sort))",
+     [("t", "dup"), ("near", 2, ["fast", "sort"])]),
+    ("e4", "#SUM(spark spark #WINDOW/8(key value hash))",
+     [("t", "spark"), ("t", "spark"), ("window", 8, ["key", "value", "hash"])]),
+]
+
+
+def _q_sdm_bm25_batch_topk(spark, sf_dir):
+    from search_engine_spark.engine.batch import batch_topk
+
+    eng = _engine(spark, sf_dir, BM25)
+    qs = [(qid, text) for qid, text, _ in SDM_BM25_BATCH_QUERY_SET]
+    return batch_topk(eng, qs, 100).select(
+        "qid", "rank", F.col("docid").cast("long").alias("docid"), "score"
+    )
+
+
+def _sdm_bm25_term_score_sql(term: str) -> str:
+    df = f"(SELECT df FROM dfstats WHERE term = '{term}')"
+    return (
+        f"CAST(CAST(greatest(0.0, ln((c.n_docs - {df} + 0.5) / ({df} + 0.5)))"
+        f" * (t.tf / (t.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))"
+        f" AS REAL) AS DOUBLE)"
+    )
+
+
+def _sdm_bm25_batch_sql(k: int) -> str:
+    walks, sels = [], []
+    for j, (qid, _, children) in enumerate(SDM_BM25_BATCH_QUERY_SET):
+        sfx = f"_e{j}"
+        parts = []
+        for i, c in enumerate(children):
+            if c[0] == "t":
+                t_ = c[1]
+                parts.append(
+                    f"SELECT t.doc_id, {_sdm_bm25_term_score_sql(t_)} AS score\n"
+                    f"  FROM tfs t JOIN dl l USING (doc_id) CROSS JOIN consts c"
+                    f" WHERE t.term = '{t_}'"
+                )
+            else:
+                op, n, ts = c
+                wsfx = f"{sfx}_{i}"
+                walks.append(
+                    _near2_walk_ctes(ts[0], ts[1], n, wsfx)
+                    if op == "near"
+                    else _window3_walk_ctes(ts[0], ts[1], ts[2], n, wsfx)
+                )
+                walks.append(
+                    f"pp{wsfx} AS (SELECT doc_id, len(matches)::BIGINT AS tf "
+                    f"FROM final{wsfx} WHERE rn = 1 AND len(matches) > 0)"
+                )
+                # composite-#SCORE df = the walked list's doc count
+                df = f"(SELECT count(*) FROM pp{wsfx})"
+                parts.append(
+                    f"SELECT pp.doc_id, "
+                    f"CAST(CAST(greatest(0.0, ln((c.n_docs - {df} + 0.5) / ({df} + 0.5)))"
+                    f" * (pp.tf / (pp.tf + {_B.k1!r} * ({1.0 - _B.b!r} + {_B.b!r} * l.doclen / c.avgdl)))"
+                    f" AS REAL) AS DOUBLE) AS score\n"
+                    f"  FROM pp{wsfx} pp JOIN dl l USING (doc_id) CROSS JOIN consts c"
+                )
+        sels.append(
+            f"SELECT '{qid}' AS qid, doc_id, sum(score) AS score FROM (\n  "
+            + "\n  UNION ALL ".join(parts)
+            + "\n) GROUP BY doc_id"
+        )
+    return (
+        _RECURSIVE_PRELUDE
+        + ",\n"
+        + ",\n".join(walks)
+        + ",\nallq AS (\n  "
+        + "\n  UNION ALL ".join(sels)
+        + f"""),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id AS docid, score
+  FROM allq)
+SELECT qid, rank, docid, score FROM ranked WHERE rank <= {k}"""
+    )
+
+
+_register(
+    "sdm_bm25_batch_topk", _q_sdm_bm25_batch_topk, _sdm_bm25_batch_sql(100)
+)
+
+
 # -- PRF expansion (two-round) ------------------------------------------------
 
 _PRF_W_QUERY = "spark query table"

@@ -358,6 +358,17 @@ def _sdm_query_spec(
             f"query {qid!r} compiles to {type(node).__name__} — SDM batch "
             "covers flat #AND/#WAND/#WSUM over term/positional children"
         )
+    return kind, weights, _classify_sdm_children(qid, children)
+
+
+def _classify_sdm_children(qid: str, children: list) -> list[tuple]:
+    """ScoreNode children -> SDM spec tuples (shared by the Indri and BM25
+    SDM specs): ("t", term, field) or
+    ("near"|"window", distance, [(term, field)...], field)."""
+    from search_engine_spark.engine.ops import (
+        NearNode, ScoreNode, TermNode, WindowNode,
+    )
+
     out: list[tuple] = []
     for c in children:
         if not isinstance(c, ScoreNode):
@@ -388,7 +399,29 @@ def _sdm_query_spec(
                 f"query {qid!r} has a {type(ch).__name__} child — SDM batch "
                 "covers term and #NEAR/#WINDOW children"
             )
-    return kind, weights, out
+    return out
+
+
+def _sdm_bm25_query_spec(eng: Engine, qid: str, text: str) -> list[tuple]:
+    """BM25 twin of _sdm_query_spec: flat #SUM (the model-default wrap)
+    whose children are term leaves or #NEAR/n / #WINDOW/n over term leaves
+    — the hw2 structured-BM25 shape. Returns the children spec only (#SUM
+    has no weights; duplicate children each contribute once, summed)."""
+    from search_engine_spark.engine.ops import IlNode, ScoreNode, SumNode
+
+    node = compile_node(eng.parse(text), eng.ctx, eng.default_field)
+    if isinstance(node, IlNode):
+        node = ScoreNode(node)
+    if isinstance(node, ScoreNode):
+        children = [node]
+    elif isinstance(node, SumNode):
+        children = node.children
+    else:
+        raise ValueError(
+            f"query {qid!r} compiles to {type(node).__name__} — BM25 SDM "
+            "batch covers #SUM over term/positional children"
+        )
+    return _classify_sdm_children(qid, children)
 
 
 def _sdm_walk_iter(batches):
@@ -446,6 +479,159 @@ def _sdm_walk_iter(batches):
         )
 
 
+def _walk_positional_children(
+    eng: Engine, specs: dict[str, list[tuple]]
+) -> tuple[DataFrame | None, dict]:
+    """Phase 1 of the SDM batch plans (Indri and BM25 alike): every
+    positional child of every query in ONE job — union positions scan,
+    broadcast (qid, ci, li, term, field) fan-out, ONE (qid, ci, docid)
+    aggregate (group size == leaf count IS the inner-join-on-docid
+    semantics of the single-query _positional_join), one mapInPandas
+    wavefront walk. Returns (pos_posts, pos_stats): the localCheckpointed
+    (qid, ci, docid, tf) frame plus {(qid, ci): (df, ctf)} — the composite
+    #SCORE stats contract (ScoreNode._materialized)."""
+    spark = eng.index.doc_ids.sparkSession
+    pos_leaf, pos_meta = [], []
+    for qid, children in specs.items():
+        for ci, c in enumerate(children):
+            if c[0] == "t":
+                continue
+            op, dist, leaves, fld = c
+            for li, (t, f) in enumerate(leaves):
+                pos_leaf.append((qid, ci, li, t, f))
+            pos_meta.append((qid, ci, op, int(dist), len(leaves)))
+    if not pos_leaf:
+        return None, {}
+    pl_df = spark.createDataFrame(
+        pos_leaf, "qid string, ci int, li int, term string, field string"
+    )
+    pm_df = spark.createDataFrame(
+        pos_meta, "qid string, ci int, _op string, _dist int, _k int"
+    )
+    pscan = eng.ctx.index.postings_for(
+        sorted({(t, f) for _, _, _, t, f in pos_leaf}), with_positions=True
+    )
+    prows = (
+        pscan.select("term", "field", "docid", "positions")
+        .join(F.broadcast(pl_df), ["term", "field"])
+        .groupBy("qid", "ci", "docid")
+        .agg(F.collect_list(F.struct("li", "positions")).alias("_lp"))
+        .join(F.broadcast(pm_df), ["qid", "ci"])
+        .where(F.size("_lp") == F.col("_k"))
+        .select(
+            "qid", "ci", "_op", "_dist", "_k", "docid",
+            # child-ordered per-leaf position arrays (struct sort is
+            # li-first lexicographic)
+            F.transform(
+                F.array_sort("_lp"), lambda s: s["positions"]
+            ).alias("_pl"),
+        )
+    )
+    pos_posts = prows.mapInPandas(
+        _sdm_walk_iter, "qid string, ci int, docid long, tf int"
+    ).localCheckpoint(eager=True)
+    pos_stats: dict[tuple[str, int], tuple[int, int]] = {}
+    for r in (
+        pos_posts.groupBy("qid", "ci")
+        .agg(
+            F.count("*").alias("df"),
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("ctf"),
+        )
+        .collect()
+    ):
+        pos_stats[(r["qid"], r["ci"])] = (int(r["df"]), int(r["ctf"]))
+    return pos_posts, pos_stats
+
+
+def sdm_bm25_batch_scores(
+    eng: Engine, queries: list[tuple[str, str]]
+) -> DataFrame:
+    """[(qid, text)] -> (qid, docid, score) for structured BM25 #SUM
+    queries (term + #NEAR/n + #WINDOW/n children — the hw2 structured-BM25
+    shape), batched across qids.
+
+    Phase 1 is the shared positional walk (_walk_positional_children);
+    phase 2 scores term children straight off ONE union postings scan with
+    the same codegen'd expression the flat batch uses (_leaf_score_col —
+    df/avgdl denormalized, no defaults: #SUM sums the scores PRESENT,
+    QryopSlSum.java:43-75), scores positional children from the walked
+    frame with per-child df riding a broadcast constants table and doclen
+    from the per-docid field map, and runs ONE (qid, docid) sum. Bitwise ≡
+    per-query Engine.search (tests/test_batch.py)."""
+    from search_engine_spark.engine import score as score_mod
+
+    if eng.model.name != BM25:
+        raise ValueError("sdm_bm25_batch_scores requires the BM25 model")
+    spark = eng.index.doc_ids.sparkSession
+    specs = {qid: _sdm_bm25_query_spec(eng, qid, text) for qid, text in queries}
+
+    child_fields: set[str] = set()
+    term_pairs: set[tuple[str, str]] = set()
+    for children in specs.values():
+        for c in children:
+            child_fields.add(c[2] if c[0] == "t" else c[3])
+    if not child_fields:
+        return spark.createDataFrame([], "qid string, docid long, score double")
+    flds = sorted(child_fields)
+    fidx = {f: j for j, f in enumerate(flds)}
+    p = eng.model.bm25
+    n_docs = eng.index.corpus.n_docs
+
+    pos_posts, pos_stats = _walk_positional_children(eng, specs)
+
+    qleaf, pmeta = [], []
+    for qid, children in specs.items():
+        for ci, c in enumerate(children):
+            if c[0] == "t":
+                qleaf.append((qid, ci, c[1], c[2]))
+                term_pairs.add((c[1], c[2]))
+            else:
+                fld = c[3]
+                df_val, _ = pos_stats.get((qid, ci), (0, 0))
+                pmeta.append(
+                    (qid, ci, float(df_val),
+                     float(eng.index.corpus.avgdl(fld)), fidx[fld])
+                )
+
+    frames = []
+    if qleaf:
+        eng.ctx.prefetch_terms(term_pairs)
+        scan = eng.ctx.index.postings_for(sorted(term_pairs))
+        qleaf_df = spark.createDataFrame(
+            qleaf, "qid string, ci int, term string, field string"
+        )
+        frames.append(
+            scan.select(
+                "term", "field", "docid",
+                _leaf_score_col(eng.ctx, {f for _, f in term_pairs}).alias(
+                    "score"
+                ),
+            )
+            .join(F.broadcast(qleaf_df), ["term", "field"])
+            .select("qid", "docid", "score")
+        )
+    if pos_posts is not None:
+        pm_df = spark.createDataFrame(
+            pmeta, "qid string, ci int, _df double, _avgdl double, _fi int"
+        )
+        dl = F.element_at(F.col("_dlmap"), F.col("_fi"))
+        pscore = score_mod.bm25_score(
+            n_docs=n_docs, df=F.col("_df"), avgdl=F.col("_avgdl"), p=p,
+            tf=F.col("tf"), doclen=dl,
+        )
+        frames.append(
+            pos_posts.join(F.broadcast(pm_df), ["qid", "ci"])
+            .join(_field_doclen_map(eng, flds, fidx), "docid")
+            .select("qid", "docid", pscore.alias("score"))
+        )
+    if not frames:
+        return spark.createDataFrame([], "qid string, docid long, score double")
+    from functools import reduce
+
+    rows = reduce(DataFrame.unionByName, frames)
+    return rows.groupBy("qid", "docid").agg(F.sum("score").alias("score"))
+
+
 def sdm_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     """[(qid, text)] -> (qid, docid, score) for structured (SDM-shaped)
     Indri queries — flat #AND/#WAND/#WSUM over term AND positional
@@ -495,55 +681,9 @@ def sdm_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     eng.ctx.prefetch_terms(term_pairs)
 
     # ---- phase 1: every positional child of every query, ONE job --------
-    pos_leaf, pos_meta = [], []
-    for qid, (kind, weights, children) in specs.items():
-        for ci, c in enumerate(children):
-            if c[0] == "t":
-                continue
-            op, dist, leaves, fld = c
-            for li, (t, f) in enumerate(leaves):
-                pos_leaf.append((qid, ci, li, t, f))
-            pos_meta.append((qid, ci, op, int(dist), len(leaves)))
-    pos_stats: dict[tuple[str, int], tuple[int, int]] = {}
-    pos_posts = None
-    if pos_leaf:
-        pl_df = spark.createDataFrame(
-            pos_leaf, "qid string, ci int, li int, term string, field string"
-        )
-        pm_df = spark.createDataFrame(
-            pos_meta, "qid string, ci int, _op string, _dist int, _k int"
-        )
-        pscan = eng.ctx.index.postings_for(
-            sorted({(t, f) for _, _, _, t, f in pos_leaf}), with_positions=True
-        )
-        prows = (
-            pscan.select("term", "field", "docid", "positions")
-            .join(F.broadcast(pl_df), ["term", "field"])
-            .groupBy("qid", "ci", "docid")
-            .agg(F.collect_list(F.struct("li", "positions")).alias("_lp"))
-            .join(F.broadcast(pm_df), ["qid", "ci"])
-            .where(F.size("_lp") == F.col("_k"))
-            .select(
-                "qid", "ci", "_op", "_dist", "_k", "docid",
-                # child-ordered per-leaf position arrays (struct sort is
-                # li-first lexicographic)
-                F.transform(
-                    F.array_sort("_lp"), lambda s: s["positions"]
-                ).alias("_pl"),
-            )
-        )
-        pos_posts = prows.mapInPandas(
-            _sdm_walk_iter, "qid string, ci int, docid long, tf int"
-        ).localCheckpoint(eager=True)
-        for r in (
-            pos_posts.groupBy("qid", "ci")
-            .agg(
-                F.count("*").alias("df"),
-                F.coalesce(F.sum("tf"), F.lit(0)).alias("ctf"),
-            )
-            .collect()
-        ):
-            pos_stats[(r["qid"], r["ci"])] = (int(r["df"]), int(r["ctf"]))
+    pos_posts, pos_stats = _walk_positional_children(
+        eng, {qid: ch for qid, (_k, _w, ch) in specs.items()}
+    )
 
     # ---- phase 2: constants + combine (indri_batch_scores shape) --------
     qleaf, qmeta = [], []
@@ -661,7 +801,8 @@ def split_batchable(
         try:
             if eng.model.name == BM25:
                 if "#" in text:
-                    raise ValueError("structured")
+                    # structured: batchable iff it fits the SDM shape
+                    _sdm_bm25_query_spec(eng, qid, text)
             elif eng.model.name == INDRI:
                 # SDM spec is a superset of the flat spec: flat, mixed-field
                 # and #NEAR/#WINDOW-structured queries all batch
@@ -761,6 +902,9 @@ def batch_topk(
         )
     elif eng.model.name in (UNRANKED_BOOLEAN, RANKED_BOOLEAN):
         scores = bool_batch_scores(eng, queries)
+    elif any("#" in text for _, text in queries):
+        # structured BM25 (#SUM over positional children): the SDM plan
+        scores = sdm_bm25_batch_scores(eng, queries)
     else:
         scores = batch_scores(eng, queries)
     # stage 1 — salted partial cut: rank() keeps boundary ties (their final

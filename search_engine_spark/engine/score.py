@@ -54,9 +54,12 @@ def bm25_score(
     tf = (F.col("tf") if tf is None else tf).cast("double")
     doclen = (F.col("doclen") if doclen is None else doclen).cast("double")
     dfc = F.lit(df).cast("double") if not isinstance(df, Column) else df.cast("double")
+    adc = (
+        F.lit(avgdl) if not isinstance(avgdl, Column) else avgdl.cast("double")
+    )
     n = F.lit(float(n_docs))
     idf = F.greatest(F.lit(0.0), F.log((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))))
-    tfw = tf / (tf + F.lit(p.k1) * (F.lit(1.0 - p.b) + F.lit(p.b) * doclen / F.lit(avgdl)))
+    tfw = tf / (tf + F.lit(p.k1) * (F.lit(1.0 - p.b) + F.lit(p.b) * doclen / adc))
     qtf = 1.0
     userw = F.lit((p.k3 + 1.0) * qtf / (p.k3 + qtf))
     return _f32(idf * tfw * userw)

@@ -71,7 +71,8 @@ def test_batch_salt_invariance(code_index):
 
 def test_batch_rejects_structured(code_index):
     eng = _eng(code_index)
-    with pytest.raises(ValueError, match="structured"):
+    # #AND under BM25 is undefined in the reference (QryopSlAnd.evaluate)
+    with pytest.raises(ValueError, match="not defined for BM25"):
         batch_topk(eng, [("q1", "#AND(lock queue)")], K)
     ind = _ind(code_index)
     # nested Sl inside a weighted combine stays out of the batch path
@@ -174,6 +175,30 @@ def test_sdm_batch_matches_per_query(code_index):
         assert got.get(qid, []) == want, f"{qid} diverges from Engine.search"
 
 
+SDM_BM25_BATCH = [
+    ("p1", "#SUM(lock #NEAR/1(lock free) #WINDOW/8(lock free))"),
+    ("p2", "lock free #NEAR/2(ring buffer)"),    # model-default #SUM wrap
+    ("p3", "#SUM(queue #WINDOW/4(lock queue))"),
+    ("p4", "#NEAR/2(fast sort)"),                # bare positional query
+    ("p5", "#SUM(lock #NEAR/2(zzz_not_in_vocab_zzz lock))"),  # empty child
+    ("p6", "lock free queue"),                   # flat query in an SDM batch
+]
+
+
+def test_sdm_bm25_batch_matches_per_query(code_index):
+    """Structured BM25 #SUM batches (the hw2 structured-BM25 shape) stay
+    bitwise-identical to per-query Engine.search — positional children
+    score the walked lists with df from the composite stats contract."""
+    eng = _eng(code_index)
+    got = _by_qid(batch_topk(eng, SDM_BM25_BATCH, K))
+    for qid, text in SDM_BM25_BATCH:
+        want = [
+            (r["rank"], r["docid"], r["ext_docid"], r["score"])
+            for r in eng.search(text, K).collect()
+        ]
+        assert got.get(qid, []) == want, f"{qid} diverges from Engine.search"
+
+
 def test_sdm_batch_scalar_walk_identity(code_index, monkeypatch):
     """The scalar reference walk and the numpy wavefront agree inside the
     batched SDM kernel too."""
@@ -230,8 +255,9 @@ def test_split_batchable(code_index):
     ]
     bm = _eng(code_index)
     good, rest = split_batchable(bm, mixed)
-    assert [q for q, _ in good] == ["q1"]
-    assert [q for q, _ in rest] == ["q2", "q3"]  # structured under BM25
+    # flat + SDM-shaped batch under BM25 (round 5); Boolean #AND stays out
+    assert [q for q, _ in good] == ["q1", "q2"]
+    assert [q for q, _ in rest] == ["q3"]
 
     ind = _ind(code_index)
     good, rest = split_batchable(
