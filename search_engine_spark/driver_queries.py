@@ -1269,6 +1269,9 @@ SDM_BATCH_QUERY_SET = [
      ("wand", [0.6, 0.4], [("t", "spark"), ("near", 2, ["fast", "sort"])])),
     ("d4", "#WSUM(0.7 dup 0.3 #WINDOW/8(key value hash))",
      ("wsum", [0.7, 0.3], [("t", "dup"), ("window", 8, ["key", "value", "hash"])])),
+    # a #SYN child: il union, ctf = sum of leaf ctfs (QryopIlSyn.java:43-97)
+    ("d5", "#AND(spark #SYN(sort merge))",
+     ("and", None, [("t", "spark"), ("syn", ["sort", "merge"])])),
 ]
 
 
@@ -1312,18 +1315,26 @@ def _sdm_batch_sql(k: int) -> str:
                     f"coalesce(s{sfx}_{i}.s, {_indri_default_sql(t_)}) AS c{i}"
                 )
             else:
-                op, n, ts = c
                 wsfx = f"{sfx}_{i}"
-                walks.append(
-                    _near2_walk_ctes(ts[0], ts[1], n, wsfx)
-                    if op == "near"
-                    else _window3_walk_ctes(ts[0], ts[1], ts[2], n, wsfx)
-                )
-                walks.append(
-                    f"pp{wsfx} AS (SELECT doc_id, len(matches)::BIGINT AS tf "
-                    f"FROM final{wsfx} WHERE rn = 1 AND len(matches) > 0)"
-                )
-                # composite-#SCORE ctf = sum(tf) over the walked list
+                if c[0] == "syn":
+                    # #SYN: il union — per-doc tf = sum of leaf tfs
+                    _, ts = c
+                    walks.append(
+                        f"pp{wsfx} AS (SELECT doc_id, sum(tf)::BIGINT AS tf "
+                        f"FROM tfs WHERE term IN {_sql_in(ts)} GROUP BY doc_id)"
+                    )
+                else:
+                    op, n, ts = c
+                    walks.append(
+                        _near2_walk_ctes(ts[0], ts[1], n, wsfx)
+                        if op == "near"
+                        else _window3_walk_ctes(ts[0], ts[1], ts[2], n, wsfx)
+                    )
+                    walks.append(
+                        f"pp{wsfx} AS (SELECT doc_id, len(matches)::BIGINT AS tf "
+                        f"FROM final{wsfx} WHERE rn = 1 AND len(matches) > 0)"
+                    )
+                # composite-#SCORE ctf = sum(tf) over the result list
                 ctf = f"(SELECT coalesce(sum(tf), 0)::DOUBLE FROM pp{wsfx})"
                 mle = f"({ctf} / c.c_len)"
                 actual = (
@@ -1404,6 +1415,9 @@ SDM_BM25_BATCH_QUERY_SET = [
      [("t", "dup"), ("near", 2, ["fast", "sort"])]),
     ("e4", "#SUM(spark spark #WINDOW/8(key value hash))",
      [("t", "spark"), ("t", "spark"), ("window", 8, ["key", "value", "hash"])]),
+    # #SYN child under BM25: df = the union's doc count
+    ("e5", "#SUM(dup #SYN(sort merge))",
+     [("t", "dup"), ("syn", ["sort", "merge"])]),
 ]
 
 
@@ -1440,18 +1454,25 @@ def _sdm_bm25_batch_sql(k: int) -> str:
                     f" WHERE t.term = '{t_}'"
                 )
             else:
-                op, n, ts = c
                 wsfx = f"{sfx}_{i}"
-                walks.append(
-                    _near2_walk_ctes(ts[0], ts[1], n, wsfx)
-                    if op == "near"
-                    else _window3_walk_ctes(ts[0], ts[1], ts[2], n, wsfx)
-                )
-                walks.append(
-                    f"pp{wsfx} AS (SELECT doc_id, len(matches)::BIGINT AS tf "
-                    f"FROM final{wsfx} WHERE rn = 1 AND len(matches) > 0)"
-                )
-                # composite-#SCORE df = the walked list's doc count
+                if c[0] == "syn":
+                    _, ts = c
+                    walks.append(
+                        f"pp{wsfx} AS (SELECT doc_id, sum(tf)::BIGINT AS tf "
+                        f"FROM tfs WHERE term IN {_sql_in(ts)} GROUP BY doc_id)"
+                    )
+                else:
+                    op, n, ts = c
+                    walks.append(
+                        _near2_walk_ctes(ts[0], ts[1], n, wsfx)
+                        if op == "near"
+                        else _window3_walk_ctes(ts[0], ts[1], ts[2], n, wsfx)
+                    )
+                    walks.append(
+                        f"pp{wsfx} AS (SELECT doc_id, len(matches)::BIGINT AS tf "
+                        f"FROM final{wsfx} WHERE rn = 1 AND len(matches) > 0)"
+                    )
+                # composite-#SCORE df = the result list's doc count
                 df = f"(SELECT count(*) FROM pp{wsfx})"
                 parts.append(
                     f"SELECT pp.doc_id, "

@@ -331,12 +331,12 @@ def _sdm_query_spec(
     eng: Engine, qid: str, text: str
 ) -> tuple[str, list[float] | None, list[tuple]]:
     """Parse + compile one structured (SDM-shaped) Indri query: flat
-    #AND/#WAND/#WSUM whose children are term leaves OR positional
-    #NEAR/n / #WINDOW/n over term leaves — the reference hw3 SDM headline
-    ``#AND(q #NEAR/1(q) #WINDOW/8(q))`` (hw3/QryEval/mengyuy-HW3-Report.pdf
-    §3). Returns (kind, weights, children) where children[i] is
-    ("t", term, field) or ("near"|"window", distance, [(term, field)...],
-    field). A superset of _indri_query_spec's flat shapes."""
+    #AND/#WAND/#WSUM whose children are term leaves, #SYN unions, OR
+    positional #NEAR/n / #WINDOW/n over term leaves — the reference hw3
+    SDM headline ``#AND(q #NEAR/1(q) #WINDOW/8(q))``
+    (hw3/QryEval/mengyuy-HW3-Report.pdf §3). Returns
+    (kind, weights, children) — see _classify_sdm_children for the child
+    tuple formats. A superset of _indri_query_spec's flat shapes."""
     from search_engine_spark.engine.ops import (
         IlNode, IndriAndNode, NearNode, ScoreNode, TermNode, WandNode,
         WindowNode, WsumNode,
@@ -363,10 +363,10 @@ def _sdm_query_spec(
 
 def _classify_sdm_children(qid: str, children: list) -> list[tuple]:
     """ScoreNode children -> SDM spec tuples (shared by the Indri and BM25
-    SDM specs): ("t", term, field) or
+    SDM specs): ("t", term, field), ("syn", [(term, field)...], field), or
     ("near"|"window", distance, [(term, field)...], field)."""
     from search_engine_spark.engine.ops import (
-        NearNode, ScoreNode, TermNode, WindowNode,
+        NearNode, ScoreNode, SynNode, TermNode, WindowNode,
     )
 
     out: list[tuple] = []
@@ -379,6 +379,17 @@ def _classify_sdm_children(qid: str, children: list) -> list[tuple]:
         ch = c.child
         if isinstance(ch, TermNode):
             out.append(("t", ch.term, ch.field))
+        elif isinstance(ch, SynNode):
+            if not all(isinstance(leaf, TermNode) for leaf in ch.children):
+                raise ValueError(
+                    f"query {qid!r} has a nested composite inside a #SYN "
+                    "child — SDM batch covers term leaves"
+                )
+            leaves = [(leaf.term, leaf.field) for leaf in ch.children]
+            if len(leaves) == 1:
+                out.append(("t",) + leaves[0])  # 1-arg #SYN IS its leaf list
+            else:
+                out.append(("syn", leaves, ch.field))
         elif isinstance(ch, (NearNode, WindowNode)):
             if not all(isinstance(leaf, TermNode) for leaf in ch.children):
                 raise ValueError(
@@ -494,7 +505,7 @@ def _walk_positional_children(
     pos_leaf, pos_meta = [], []
     for qid, children in specs.items():
         for ci, c in enumerate(children):
-            if c[0] == "t":
+            if c[0] not in ("near", "window"):
                 continue
             op, dist, leaves, fld = c
             for li, (t, f) in enumerate(leaves):
@@ -543,6 +554,41 @@ def _walk_positional_children(
     return pos_posts, pos_stats
 
 
+def _child_field(c: tuple) -> str:
+    """The field an SDM child scores against (ScoreNode uses the composite
+    node's .field — its first leaf's field)."""
+    return c[2] if c[0] in ("t", "syn") else c[3]
+
+
+def _syn_child_rows(eng: Engine, specs: dict[str, list[tuple]]) -> DataFrame | None:
+    """(qid, ci, docid, tf) rows for every #SYN child: the il union's tf is
+    the size of the merged position list == the SUM of the leaf tfs
+    (QryopIlSyn.java:43-97 concatenates), so one scan + broadcast fan-out +
+    a (qid, ci, docid) pre-aggregate — no positions needed. The pre-agg
+    keeps (qid, ci) keys unique before the combine's tf-map build."""
+    spark = eng.index.doc_ids.sparkSession
+    syn_leaf = []
+    for qid, children in specs.items():
+        for ci, c in enumerate(children):
+            if c[0] == "syn":
+                for t, f in c[1]:
+                    syn_leaf.append((qid, ci, t, f))
+    if not syn_leaf:
+        return None
+    sl_df = spark.createDataFrame(
+        syn_leaf, "qid string, ci int, term string, field string"
+    )
+    scan = eng.ctx.index.postings_for(
+        sorted({(t, f) for _, _, t, f in syn_leaf})
+    )
+    return (
+        scan.select("term", "field", "docid", "tf")
+        .join(F.broadcast(sl_df), ["term", "field"])
+        .groupBy("qid", "ci", "docid")
+        .agg(F.sum("tf").cast("int").alias("tf"))
+    )
+
+
 def sdm_bm25_batch_scores(
     eng: Engine, queries: list[tuple[str, str]]
 ) -> DataFrame:
@@ -569,7 +615,7 @@ def sdm_bm25_batch_scores(
     term_pairs: set[tuple[str, str]] = set()
     for children in specs.values():
         for c in children:
-            child_fields.add(c[2] if c[0] == "t" else c[3])
+            child_fields.add(_child_field(c))
     if not child_fields:
         return spark.createDataFrame([], "qid string, docid long, score double")
     flds = sorted(child_fields)
@@ -578,6 +624,25 @@ def sdm_bm25_batch_scores(
     n_docs = eng.index.corpus.n_docs
 
     pos_posts, pos_stats = _walk_positional_children(eng, specs)
+    syn_rows = _syn_child_rows(eng, specs)
+    if syn_rows is not None:
+        # BM25 needs each #SYN child's df = its union's doc count: one
+        # aggregate over the (pre-aggregated) syn frame; checkpoint so the
+        # stats pass and the score pass share one execution. The syn rows
+        # then merge into the composite frame and score exactly like
+        # positional children (df/avgdl from the broadcast constants).
+        syn_rows = syn_rows.localCheckpoint(eager=True)
+        for r in (
+            syn_rows.groupBy("qid", "ci")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        ):
+            pos_stats[(r["qid"], r["ci"])] = (int(r["df"]), 0)
+        pos_posts = (
+            pos_posts.unionByName(syn_rows)
+            if pos_posts is not None
+            else syn_rows
+        )
 
     qleaf, pmeta = [], []
     for qid, children in specs.items():
@@ -586,7 +651,7 @@ def sdm_bm25_batch_scores(
                 qleaf.append((qid, ci, c[1], c[2]))
                 term_pairs.add((c[1], c[2]))
             else:
-                fld = c[3]
+                fld = _child_field(c)
                 df_val, _ = pos_stats.get((qid, ci), (0, 0))
                 pmeta.append(
                     (qid, ci, float(df_val),
@@ -664,13 +729,15 @@ def sdm_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     child_fields: set[str] = set()
     term_pairs: set[tuple[str, str]] = set()
     pos_pairs: set[tuple[str, str]] = set()
+    syn_pairs: set[tuple[str, str]] = set()
     for kind, weights, children in specs.values():
         for c in children:
+            child_fields.add(_child_field(c))
             if c[0] == "t":
-                child_fields.add(c[2])
                 term_pairs.add((c[1], c[2]))
+            elif c[0] == "syn":
+                syn_pairs.update(c[1])
             else:
-                child_fields.add(c[3])
                 pos_pairs.update(c[2])
     if not child_fields:
         return spark.createDataFrame([], "qid string, docid long, score double")
@@ -678,12 +745,13 @@ def sdm_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     fidx = {f: j for j, f in enumerate(flds)}
     c_len_of = {f: eng.index.corpus.sum_doclen(f) for f in flds}
     p = eng.model.indri
-    eng.ctx.prefetch_terms(term_pairs)
+    # syn leaves included: their ctf sums make the child's ctf driver-side
+    eng.ctx.prefetch_terms(term_pairs | syn_pairs)
 
-    # ---- phase 1: every positional child of every query, ONE job --------
-    pos_posts, pos_stats = _walk_positional_children(
-        eng, {qid: ch for qid, (_k, _w, ch) in specs.items()}
-    )
+    # ---- phase 1: every positional/#SYN child of every query, ONE job ---
+    children_of = {qid: ch for qid, (_k, _w, ch) in specs.items()}
+    pos_posts, pos_stats = _walk_positional_children(eng, children_of)
+    syn_rows = _syn_child_rows(eng, children_of)
 
     # ---- phase 2: constants + combine (indri_batch_scores shape) --------
     qleaf, qmeta = [], []
@@ -698,6 +766,11 @@ def sdm_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
                 qleaf.append((qid, ci, t, f))
                 _, ctf = eng.ctx.term_stat(t, f)
                 fld = f
+            elif c[0] == "syn":
+                fld = c[2]
+                # #SYN ctf = sum of leaf ctfs (tf concatenates, so the
+                # totals add) — no job needed, broadcast stats suffice
+                ctf = sum(eng.ctx.term_stat(t, f)[1] for t, f in c[1])
             else:
                 fld = c[3]
                 # a positional child with zero matches keeps (df, ctf) =
@@ -733,6 +806,12 @@ def sdm_batch_scores(eng: Engine, queries: list[tuple[str, str]]) -> DataFrame:
     if pos_posts is not None:
         frames.append(
             pos_posts.select(
+                "qid", "ci", "docid", F.col("tf").cast("int").alias("tf")
+            )
+        )
+    if syn_rows is not None:
+        frames.append(
+            syn_rows.select(
                 "qid", "ci", "docid", F.col("tf").cast("int").alias("tf")
             )
         )

@@ -158,6 +158,8 @@ SDM_BATCH = [
     ("s6", "#AND(lock #NEAR/2(zzz_not_in_vocab_zzz lock))"),  # empty child -> ctf 0
     ("s7", "lock free queue"),                    # flat query in an SDM batch
     ("s8", "#AND(python.lang #NEAR/3(lock queue))"),  # mixed-field SDM
+    ("s9", "#AND(lock #SYN(ring buffer) #NEAR/2(ring buffer))"),  # syn child
+    ("s10", "#WSUM(0.7 queue 0.3 #SYN(lock free))"),
 ]
 
 
@@ -182,6 +184,7 @@ SDM_BM25_BATCH = [
     ("p4", "#NEAR/2(fast sort)"),                # bare positional query
     ("p5", "#SUM(lock #NEAR/2(zzz_not_in_vocab_zzz lock))"),  # empty child
     ("p6", "lock free queue"),                   # flat query in an SDM batch
+    ("p7", "#SUM(queue #SYN(ring buffer))"),     # syn child (df from union)
 ]
 
 
